@@ -1,0 +1,21 @@
+"""bwamem_tpu — a TPU-native BWA-MEM-class short-read aligner.
+
+Built from scratch in JAX/Pallas with the capabilities of the reference GPU
+aligner (sunwookim028/bwa-mem-gpu, itself a CUDA rewrite of lh3/bwa 0.7.17
+`mem`).  The behavior oracle is upstream CPU BWA-MEM; the acceleration
+architecture is TPU-first: fixed-shape SoA read batches, FM-index queries as
+vectorized gather+popcount, Smith-Waterman as row-parallel scans / Pallas
+kernels, and data parallelism over `jax.sharding.Mesh`.
+
+64-bit integer support is enabled at import: FM-index interval arithmetic on
+human-scale genomes (2*l_pac > 2^32) requires int64 (reference: bwtint_t is
+uint64_t, bwt.h:46).  Small-genome indexes use int32 device arrays for speed;
+dtypes are always explicit throughout the package.
+"""
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from bwamem_tpu.config import MemOptions  # noqa: E402,F401

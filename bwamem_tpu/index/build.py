@@ -1,0 +1,288 @@
+"""Index construction: FASTA → pac / BWT / occ checkpoints / SA samples.
+
+Host-side (NumPy) one-time construction, equivalent to `bwa index`
+(reference bwtindex.c:209-323 + bntseq.c:232-333 + bwt.c:42-84).  Produces
+bit-identical .pac/.ann/.amb/.bwt/.sa files to the reference for the same
+FASTA (including the seeded lrand48 N→random-base replacement), plus a
+TPU-friendly de-interleaved layout (separate packed-BWT words and occ
+checkpoint arrays) used by the device kernels.
+
+The BWT is built over the concatenation of the forward and reverse-complement
+strands (seq_len = 2*l_pac), which is what gives bwa's single index its
+bidirectional-search capability (bwt_extend, bwt.c:262-275).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bwamem_tpu.index.fmindex import BwaIndex, Contig, AmbRun
+
+OCC_INTERVAL = 128
+SA_INTERVAL = 32
+KMER_K = 12
+
+# nst_nt4_table semantics (bntseq.c:46): A/a→0 C/c→1 G/g→2 T/t→3, else 4
+_NT4 = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _NT4[ord(_c)] = _i
+    _NT4[ord(_c.lower())] = _i
+
+
+class Lrand48:
+    """POSIX drand48-family LCG; add1 (bntseq.c:266) replaces each N with
+    lrand48()&3 after srand48(11) (bntseq.c:295-296).  Emulated so our pac
+    is bit-identical to the reference's."""
+
+    A = 0x5DEECE66D
+    C = 0xB
+    MASK = (1 << 48) - 1
+
+    def __init__(self, seed: int = 11):
+        self.x = ((seed & 0xFFFFFFFF) << 16) | 0x330E
+
+    def next_batch(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.int64)
+        x = self.x
+        for i in range(n):
+            x = (self.A * x + self.C) & self.MASK
+            out[i] = x >> 17
+        self.x = x
+        return out
+
+
+def parse_fasta(path: str):
+    """Yield (name, comment, seq_bytes) per record."""
+    name = comment = None
+    chunks: list[bytes] = []
+    opener = open
+    if path.endswith(".gz"):
+        import gzip
+        opener = gzip.open
+    with opener(path, "rb") as f:
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(b">"):
+                if name is not None:
+                    yield name, comment, b"".join(chunks)
+                hdr = line[1:].split(None, 1)
+                name = hdr[0].decode()
+                comment = hdr[1].decode() if len(hdr) > 1 else ""
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        yield name, comment, b"".join(chunks)
+
+
+def pack_fasta(path: str):
+    """FASTA → forward-strand nt4 codes + contig/amb metadata.
+
+    Equivalent to bns_fasta2bntseq/add1 (bntseq.c:232-333): N (and any
+    non-ACGT) recorded as an ambiguity run and replaced by a seeded-random
+    base in the packed sequence.
+    """
+    rng = Lrand48(11)
+    contigs: list[Contig] = []
+    ambs: list[AmbRun] = []
+    parts: list[np.ndarray] = []
+    offset = 0
+    for name, comment, seq in parse_fasta(path):
+        raw = np.frombuffer(seq, dtype=np.uint8)
+        codes = _NT4[raw]
+        ambi = codes >= 4
+        n_amb_runs = 0
+        if ambi.any():
+            # runs of identical ambiguous characters (add1 merges only
+            # *identical* consecutive ambiguity letters, bntseq.c:249)
+            idx = np.flatnonzero(ambi)
+            brk = np.flatnonzero((np.diff(idx) != 1) |
+                                 (raw[idx[1:]] != raw[idx[:-1]])) + 1
+            starts = np.concatenate([[0], brk])
+            ends = np.concatenate([brk, [len(idx)]])
+            for s, e in zip(starts, ends):
+                ambs.append(AmbRun(offset=offset + int(idx[s]),
+                                   len=int(e - s), amb=chr(raw[idx[s]])))
+            n_amb_runs = len(starts)
+            # seeded random replacement, in sequence order
+            codes = codes.copy()
+            codes[idx] = (rng.next_batch(len(idx)) & 3).astype(np.uint8)
+        contigs.append(Contig(name=name, anno=comment or "", offset=offset,
+                              len=len(seq), n_ambs=n_amb_runs, is_alt=False))
+        parts.append(codes)
+        offset += len(seq)
+    fwd = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+    return fwd, contigs, ambs
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """nt4 codes (must be <4) → reference .pac byte layout: base i at bits
+    ((~i & 3) << 1) of byte i>>2 (bntseq.c:229)."""
+    n = len(codes)
+    pad = (-n) % 4
+    c = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)]).reshape(-1, 4)
+    return (c[:, 0] << 6 | c[:, 1] << 4 | c[:, 2] << 2 | c[:, 3]).astype(np.uint8)
+
+
+def unpack_2bit(pac: np.ndarray, n: int) -> np.ndarray:
+    b = pac[: (n + 3) // 4]
+    out = np.empty(len(b) * 4, dtype=np.uint8)
+    out[0::4] = b >> 6 & 3
+    out[1::4] = b >> 4 & 3
+    out[2::4] = b >> 2 & 3
+    out[3::4] = b & 3
+    return out[:n]
+
+
+def suffix_array(t: np.ndarray) -> np.ndarray:
+    """Suffix array of t (codes) with implicit terminal sentinel smaller than
+    all symbols; returns ranks→positions for the n real suffixes (the sentinel
+    suffix is NOT included).  Prefix-doubling (Manber–Myers) in NumPy; a
+    native SA-IS drop-in lives in index/native for large genomes."""
+    n = len(t)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rank = t.astype(np.int64)
+    k = 1
+    tmp = np.full(n, -1, dtype=np.int64)
+    while True:
+        tmp[:] = -1
+        if k < n:
+            tmp[: n - k] = rank[k:]
+        order = np.lexsort((tmp, rank))
+        r1 = rank[order]
+        r2 = tmp[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.cumsum(changed)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank
+        if new_rank[-1] == n - 1 or k >= n:
+            return order
+        k <<= 1
+
+
+def bwt_from_sa(t: np.ndarray, sa: np.ndarray):
+    """BWT string (sentinel removed) + primary + SA_full, matching is_bwt
+    (reference is.c:208-223): BWT over ranks 0..n of the sentinel-terminated
+    text, with the rank whose suffix starts at 0 (the sentinel output
+    position, `primary`) removed."""
+    n = len(t)
+    sa_full = np.empty(n + 1, dtype=np.int64)
+    sa_full[0] = n          # sentinel suffix is rank 0
+    sa_full[1:] = sa
+    primary = int(np.flatnonzero(sa_full == 0)[0])
+    prev = sa_full - 1      # BWT char = t[SA[r]-1]; rank 0 → t[n-1]
+    prev[0] = n - 1
+    bwt = t[np.delete(prev, primary)]
+    return bwt.astype(np.uint8), primary, sa_full
+
+
+def pack_bwt_words(bwt: np.ndarray) -> np.ndarray:
+    """BWT codes → uint32 words, base i at bits ((15-(i&15))<<1) of word i>>4
+    (reference bwt.h:74-80 layout, occ-interleave removed)."""
+    n = len(bwt)
+    pad = (-n) % 16
+    c = np.concatenate([bwt, np.zeros(pad, dtype=np.uint8)]).astype(np.uint32)
+    c = c.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    return (c << shifts).sum(axis=1, dtype=np.uint32)
+
+
+def occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
+    """[n_blocks+1, 4] cumulative counts of each base before every
+    OCC_INTERVAL-base block (de-interleaved bwt_bwtupdate_core,
+    bwtindex.c:150-172)."""
+    n = len(bwt)
+    nb = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    pad = nb * OCC_INTERVAL - n
+    b = np.concatenate([bwt, np.full(pad, 255, dtype=np.uint8)])
+    per_block = np.zeros((nb, 4), dtype=np.int64)
+    blocks = b.reshape(nb, OCC_INTERVAL)
+    for c in range(4):
+        per_block[:, c] = (blocks == c).sum(axis=1)
+    ckpt = np.zeros((nb + 1, 4), dtype=np.int64)
+    np.cumsum(per_block, axis=0, out=ckpt[1:])
+    return ckpt
+
+
+def build_kmer_table(sa_full: np.ndarray, t: np.ndarray, k: int = KMER_K):
+    """Precomputed first-k-bases bidirectional intervals (x0, x1, size) per
+    k-mer code (equivalent of kmers_index/hashKMer.hpp:58-81, built directly
+    from the suffix array instead of 4^k FM extensions).
+
+    Interval convention matches bwt_set_intv (bwt.h:82): x0 = first rank in
+    SA_full of a suffix starting with the k-mer (sentinel is rank 0, so
+    ranks are ≥1); x1 = same for the reverse-complement k-mer; size = count.
+    """
+    n = len(t)
+    if n < k:
+        z = np.zeros(4 ** k, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    # k-mer code of every position with a full k-mer
+    codes = np.zeros(n - k + 1, dtype=np.int64)
+    for i in range(k):
+        codes = codes * 4 + t[i: n - k + 1 + i]
+    # group ranks by code (suffixes with the same k-mer prefix are contiguous)
+    rank_codes = np.full(n + 1, -1, dtype=np.int64)
+    valid = sa_full <= n - k
+    rank_codes[valid] = codes[sa_full[valid]]
+    x0 = np.zeros(4 ** k, dtype=np.int64)
+    size = np.zeros(4 ** k, dtype=np.int64)
+    vr = np.flatnonzero(rank_codes >= 0)
+    vc = rank_codes[vr]
+    # first occurrence per code and counts
+    uniq, first_idx, counts = np.unique(vc, return_index=True, return_counts=True)
+    x0[uniq] = vr[first_idx]
+    size[uniq] = counts
+    # x1 = x0 of reverse-complement code
+    digits = np.arange(4 ** k, dtype=np.int64)
+    rc = np.zeros(4 ** k, dtype=np.int64)
+    for _ in range(k):
+        rc = rc * 4 + (3 - digits % 4)
+        digits //= 4
+    x1 = x0[rc]
+    return x0, x1, size
+
+
+@dataclasses.dataclass
+class BuildResult:
+    index: BwaIndex
+    sa_full: np.ndarray  # kept for tests / kmer table construction
+
+
+def build_index(fasta_path: str, with_kmer_table: bool = False,
+                sa_interval: int = SA_INTERVAL) -> BwaIndex:
+    fwd, contigs, ambs = pack_fasta(fasta_path)
+    l_pac = len(fwd)
+    both = np.concatenate([fwd, 3 - fwd[::-1]])  # + reverse complement
+    sa = suffix_array(both)
+    bwt, primary, sa_full = bwt_from_sa(both, sa)
+    counts = np.bincount(both, minlength=4).astype(np.int64)
+    l2 = np.zeros(5, dtype=np.int64)
+    np.cumsum(counts, out=l2[1:])
+
+    n = len(both)
+    sa_samples = sa_full[::sa_interval].copy()  # ranks 0, intv, 2*intv, ...
+
+    kmer = None
+    if with_kmer_table:
+        kmer = build_kmer_table(sa_full, both)
+
+    idx = BwaIndex(
+        l_pac=l_pac,
+        seq_len=n,
+        primary=primary,
+        L2=l2,
+        bwt_words=pack_bwt_words(bwt),
+        occ=occ_checkpoints(bwt),
+        sa_samples=sa_samples,
+        sa_intv=sa_interval,
+        pac=pack_2bit(fwd),
+        contigs=contigs,
+        ambs=ambs,
+        kmer_table=kmer,
+    )
+    return idx

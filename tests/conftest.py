@@ -1,0 +1,53 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths compile
+and execute without TPU hardware (the driver separately dry-runs the
+multi-chip path; real-chip benchmarks happen in bench.py).
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+ORACLE = REPO / "tools" / "oracle" / "bwa_oracle"
+TESTDATA = REPO / ".testdata"
+
+
+def _ensure_oracle() -> Path:
+    if not ORACLE.exists():
+        subprocess.run(["make", "-C", str(ORACLE.parent)], check=True,
+                       capture_output=True)
+    return ORACLE
+
+
+@pytest.fixture(scope="session")
+def oracle() -> Path:
+    return _ensure_oracle()
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset(oracle):
+    """Small synthetic genome + reads, indexed by the oracle."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import simdata
+
+    TESTDATA.mkdir(exist_ok=True)
+    prefix = TESTDATA / "t200k"
+    fa, fq = str(prefix) + ".fa", str(prefix) + ".fq"
+    if not os.path.exists(str(prefix) + ".sa"):
+        contigs = simdata.make_genome(200_000, seed=7, n_contigs=2)
+        simdata.write_fasta(contigs, fa)
+        reads = simdata.sim_reads(contigs, 500, read_len=101, seed=8)
+        simdata.write_fastq(reads, fq)
+        subprocess.run([str(oracle), "index", fa, str(prefix)], check=True,
+                       capture_output=True)
+    return {"prefix": str(prefix), "fa": fa, "fq": fq}

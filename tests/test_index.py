@@ -1,0 +1,74 @@
+"""Index construction golden tests: our NumPy builder must reproduce the
+reference `bwa index` output files bit-for-bit (same FASTA → same
+.pac/.ann/.amb/.bwt/.sa), per SURVEY.md §7 build step 1."""
+import filecmp
+
+import numpy as np
+import pytest
+
+from bwamem_tpu.index import build_index, BwaIndex
+
+
+@pytest.fixture(scope="module")
+def built(tiny_dataset, tmp_path_factory):
+    idx = build_index(tiny_dataset["fa"], with_kmer_table=True)
+    out = tmp_path_factory.mktemp("idx") / "ours"
+    idx.save_reference_format(str(out))
+    return idx, str(out), tiny_dataset["prefix"]
+
+
+@pytest.mark.parametrize("ext", [".pac", ".ann", ".amb", ".bwt", ".sa"])
+def test_reference_files_bit_identical(built, ext):
+    _, ours, theirs = built
+    assert filecmp.cmp(ours + ext, theirs + ext, shallow=False), \
+        f"{ext} differs from reference bwa index output"
+
+
+def test_load_reference_format_roundtrip(built):
+    idx, ours, theirs = built
+    loaded = BwaIndex.load_reference_format(theirs)
+    assert loaded.primary == idx.primary
+    assert loaded.seq_len == idx.seq_len
+    assert loaded.l_pac == idx.l_pac
+    np.testing.assert_array_equal(loaded.L2, idx.L2)
+    np.testing.assert_array_equal(loaded.bwt_words, idx.bwt_words)
+    np.testing.assert_array_equal(loaded.occ, idx.occ)
+    np.testing.assert_array_equal(loaded.sa_samples, idx.sa_samples)
+    np.testing.assert_array_equal(loaded.pac, idx.pac)
+    assert [c.name for c in loaded.contigs] == [c.name for c in idx.contigs]
+
+
+def test_npz_roundtrip(built, tmp_path):
+    idx, _, _ = built
+    idx.save(str(tmp_path / "x"))
+    l2 = BwaIndex.load(str(tmp_path / "x"))
+    np.testing.assert_array_equal(l2.bwt_words, idx.bwt_words)
+    np.testing.assert_array_equal(l2.sa_samples, idx.sa_samples)
+    assert l2.kmer_table is not None
+    np.testing.assert_array_equal(l2.kmer_table[2], idx.kmer_table[2])
+
+
+def test_suffix_array_brute_force():
+    from bwamem_tpu.index.build import suffix_array
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 4, size=200).astype(np.uint8)
+    sa = suffix_array(t)
+    suf = [bytes(t[i:]) for i in range(len(t))]
+    expected = sorted(range(len(t)), key=lambda i: suf[i])
+    np.testing.assert_array_equal(sa, expected)
+
+
+def test_kmer_table_counts(built):
+    idx, _, _ = built
+    x0, x1, size = idx.kmer_table
+    # total k-mer occurrences = seq_len - (K-1)*... both strands minus edges
+    assert size.sum() == idx.seq_len - 12 + 1
+    # size symmetric under reverse complement
+    k = 12
+    digits = np.arange(4 ** k, dtype=np.int64)
+    rc = np.zeros(4 ** k, dtype=np.int64)
+    d = digits.copy()
+    for _ in range(k):
+        rc = rc * 4 + (3 - d % 4)
+        d //= 4
+    np.testing.assert_array_equal(size, size[rc])
