@@ -1,0 +1,221 @@
+"""FM-index primitives as batched JAX ops.
+
+The reference computes occ() one rank at a time with 64-bit popcount tricks
+inside each thread (bwt.c:98-220, cuda/bwt_CUDA.cu:38-179).  On TPU the same
+math is a *batched* gather of one occ-checkpoint row + one 8-word BWT block
+row per query, followed by vectorized 2-bit-match popcounts on the VPU — no
+per-element loops.
+
+Layout (built by bwamem_tpu.index.build):
+  bwt  : uint32 [n_blocks, 8]   — 128 bases per block, base i of word w at
+                                  bit (15-(i&15))*2 (same packing as bwt.h:74)
+  occ  : it    [n_blocks+1, 4]  — counts of each base in B[0:128*b)
+  L2   : it    [5]              — cumulative symbol counts, C() array
+  sa   : it    [n_sa]           — SA_full[r] for r % sa_intv == 0
+`it` is int32 for seq_len < 2^31 (small genomes) else int64 — the reference
+always uses uint64 (bwtint_t, bwt.h:46); we narrow when safe for VPU speed.
+
+Conventions match the reference exactly:
+  * occ4(k) counts B[0..k] INCLUSIVE with the $-position adjustment
+    k -= (k >= primary) and occ4(-1) == 0 (bwt_occ4, bwt.c:169-186);
+  * extend() is the bidirectional bwt_extend (bwt.c:262-275): intervals are
+    (x0, x1, size) triples; is_back=False extends the match on the RIGHT via
+    the reverse-complement coordinate x1 (callers pass c = 3 - base).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OCC_INTV_SHIFT = 7
+OCC_INTERVAL = 128
+
+
+class FM(NamedTuple):
+    bwt: jax.Array       # uint32 [nb, 8]
+    occ: jax.Array       # it [nb+1, 4]
+    L2: jax.Array        # it [5]
+    sa: jax.Array        # it [n_sa]
+    primary: jax.Array   # it []
+    seq_len: jax.Array   # it []
+    l_pac: jax.Array     # it []
+    pac: jax.Array       # uint32 [ceil(l_pac/16)] packed forward 2-bit ref
+    sa_intv: int = 32    # static (power of two)
+
+
+def fm_from_index(idx) -> FM:
+    """Host BwaIndex → device-ready FM pytree (numpy; jax.device_put by
+    caller with the desired sharding)."""
+    it = idx.itype
+    nb = (idx.seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    words = np.zeros(nb * 8, dtype=np.uint32)
+    words[: len(idx.bwt_words)] = idx.bwt_words
+    pac_bytes = np.concatenate(
+        [idx.pac, np.zeros((-len(idx.pac)) % 4, dtype=np.uint8)])
+    pac_words = pac_bytes.view(np.uint32)
+    return FM(
+        bwt=words.reshape(nb, 8),
+        occ=idx.occ.astype(it),
+        L2=idx.L2.astype(it),
+        sa=idx.sa_samples.astype(it),
+        primary=np.asarray(idx.primary, dtype=it),
+        seq_len=np.asarray(idx.seq_len, dtype=it),
+        l_pac=np.asarray(idx.l_pac, dtype=it),
+        pac=pac_words,
+        sa_intv=idx.sa_intv,
+    )
+
+
+def to_device(fm: FM, sharding=None) -> FM:
+    """Place the FM pytree on device (replicated under `sharding` if given).
+    Required before use inside jit/while_loop — host NumPy arrays cannot be
+    indexed by traced values."""
+    put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+        else jnp.asarray
+    return FM(*[put(x) if isinstance(x, (np.ndarray, jnp.ndarray)) else x
+                for x in fm])
+
+
+_WORD_OFFS = np.arange(8, dtype=np.int32) * 16  # base offset of each word
+
+
+def _block_counts(words: jax.Array, m: jax.Array, it) -> jax.Array:
+    """Counts of each base among the first `m` bases of a 128-base block.
+
+    words: uint32 [..., 8]; m: int [...] in [0, 128].  Returns it [..., 4].
+    """
+    cnt = jnp.clip(m[..., None] - _WORD_OFFS, 0, 16)          # bases per word
+    shift = jnp.clip((16 - cnt) * 2, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(cnt == 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF) << shift)
+    w = words & mask
+    outs = []
+    for c in range(4):
+        y1 = w if c & 2 else ~w
+        y0 = w if c & 1 else ~w
+        match = (y1 >> 1) & y0 & jnp.uint32(0x55555555)
+        outs.append(jax.lax.population_count(match).sum(-1, dtype=it))
+    outs[0] = outs[0] - (128 - m).astype(it)  # masked-out zero bits read as A
+    return jnp.stack(outs, axis=-1)
+
+
+def occ4(fm: FM, k: jax.Array) -> jax.Array:
+    """Counts of each base in B[0..k] inclusive; k == -1 → 0.  [..., 4]."""
+    it = fm.occ.dtype
+    valid = k >= 0
+    kk = k - (k >= fm.primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, fm.seq_len - 1)
+    blk = (kk >> OCC_INTV_SHIFT).astype(jnp.int32)
+    base = fm.occ[blk]
+    words = fm.bwt[blk]
+    m = (kk & (OCC_INTERVAL - 1)).astype(jnp.int32) + 1
+    out = base + _block_counts(words, m, it)
+    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+
+
+def extend(fm: FM, x0, x1, x2, is_back: bool):
+    """Bidirectional interval extension for all 4 symbols at once
+    (bwt_extend, bwt.c:262-275).
+
+    Returns (n0, n1, ns) each [..., 4] indexed by symbol c; the caller picks
+    c = base for backward extension or c = 3 - base for forward extension.
+    """
+    it = fm.occ.dtype
+    p = x0 if is_back else x1
+    other = x1 if is_back else x0
+    tk = occ4(fm, p - 1)
+    tl = occ4(fm, p - 1 + x2)
+    ns = tl - tk
+    crosses = ((p <= fm.primary) & (p + x2 - 1 >= fm.primary)).astype(it)
+    o3 = other + crosses
+    o2 = o3 + ns[..., 3]
+    o1 = o2 + ns[..., 2]
+    o0 = o1 + ns[..., 1]
+    new_p = fm.L2[:4] + 1 + tk
+    new_other = jnp.stack([o0, o1, o2, o3], axis=-1)
+    if is_back:
+        return new_p, new_other, ns
+    return new_other, new_p, ns
+
+
+def set_intv(fm: FM, c: jax.Array):
+    """Initial single-base interval (bwt_set_intv, bwt.h:82).  c in [0,3]."""
+    it = fm.occ.dtype
+    ci = c.astype(jnp.int32)
+    x0 = fm.L2[ci] + 1
+    x2 = fm.L2[ci + 1] - fm.L2[ci]
+    x1 = fm.L2[3 - ci] + 1
+    return x0.astype(it), x1.astype(it), x2.astype(it)
+
+
+def bwt_b0(fm: FM, x: jax.Array) -> jax.Array:
+    """Character of the $-removed BWT at position x (bwt_B0, bwt.h:80)."""
+    blk = (x >> OCC_INTV_SHIFT).astype(jnp.int32)
+    wi = ((x >> 4) & 7).astype(jnp.int32)
+    word = fm.bwt[blk, wi]
+    sh = (((~x) & 15) << 1).astype(jnp.uint32)
+    return ((word >> sh) & 3).astype(jnp.int32)
+
+
+def inv_psi(fm: FM, k: jax.Array) -> jax.Array:
+    """Inverse-Psi step (bwt_invPsi, bwt.c:53-59)."""
+    x = k - (k > fm.primary).astype(k.dtype)
+    c = bwt_b0(fm, x)
+    o = jnp.take_along_axis(occ4(fm, k), c[..., None], axis=-1)[..., 0]
+    res = fm.L2[c] + o
+    return jnp.where(k == fm.primary, jnp.zeros_like(res), res).astype(k.dtype)
+
+
+def sa_lookup(fm: FM, k: jax.Array) -> jax.Array:
+    """Batched suffix-array lookup: masked inverse-Psi walk to the nearest
+    sampled rank (bwt_sa, bwt.c:86-96).  At most sa_intv-1 steps; all lanes
+    advance in lockstep with per-lane done masks."""
+    mask = fm.sa_intv - 1
+    log2_intv = int(np.log2(fm.sa_intv))
+
+    def cond(state):
+        kk, _ = state
+        return jnp.any((kk & mask) != 0)
+
+    def body(state):
+        kk, t = state
+        act = (kk & mask) != 0
+        kn = inv_psi(fm, kk)
+        return jnp.where(act, kn, kk), t + act.astype(kk.dtype)
+
+    kk, t = jax.lax.while_loop(cond, body, (k, jnp.zeros_like(k)))
+    samp = fm.sa[(kk >> log2_intv).astype(jnp.int32)]
+    return (t + samp) % (fm.seq_len + 1)
+
+
+# ---------- reference sequence access (bntseq_CUDA.cu equivalents) ----------
+
+def pac_base(fm: FM, pos: jax.Array) -> jax.Array:
+    """Forward-strand base at pos from the packed 2-bit reference
+    (_get_pac, bntseq.c:230; word-level for vectorized gathers).
+
+    pac bytes were reinterpreted as little-endian uint32, so byte b of word w
+    is at bits 8*(b&3); within a byte, base (pos&3) sits at bits
+    (3-(pos&3))*2.
+    """
+    word = fm.pac[(pos >> 4).astype(jnp.int32)]
+    byte = (word >> (((pos & 15) >> 2) << 3).astype(jnp.uint32)) & 0xFF
+    sh = ((3 - (pos & 3)) << 1).astype(jnp.uint32)
+    return ((byte >> sh) & 3).astype(jnp.int32)
+
+
+def ref_base(fm: FM, pos: jax.Array) -> jax.Array:
+    """Base at a both-strands coordinate in [0, 2*l_pac): forward strand for
+    pos < l_pac, reverse-complement otherwise (bns_get_seq, bntseq.c:403)."""
+    is_rev = pos >= fm.l_pac
+    fpos = jnp.where(is_rev, 2 * fm.l_pac - 1 - pos, pos)
+    b = pac_base(fm, fpos)
+    return jnp.where(is_rev, 3 - b, b)
+
+
+def pos2rid(ctg_offsets: jax.Array, pos_f: jax.Array) -> jax.Array:
+    """Forward-strand position → contig id (bns_pos2rid, bntseq.c:354-368)."""
+    return (jnp.searchsorted(ctg_offsets, pos_f, side="right") - 1).astype(jnp.int32)

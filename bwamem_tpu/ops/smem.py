@@ -1,0 +1,433 @@
+"""SMEM seeding — batched 3-pass interval collection.
+
+Reproduces mem_collect_intv (reference bwamem.c:137-185) output exactly, but
+with a TPU-native decomposition instead of the per-read recursive loops of
+bwt_smem1a (bwt.c:289-351):
+
+  Phase A  — a lockstep *forward scanner*: every read advances one base per
+             step through pass-1 pivots (pivot x jumps to the end of the
+             longest match, ~2L total steps worst case), recording a
+             "candidate" (the bidirectional interval before each interval-
+             size change) into a fixed-size per-read buffer.
+  Phase B  — *backward extension*: every candidate from every read/pivot is
+             an independent lane; all lanes left-extend in lockstep until
+             death.  This replaces the nested candidate loop of the
+             reference's backward phase: we proved the per-candidate leftmost
+             start s(cand) is monotone in candidate length, so the
+             reference's curr/prev bookkeeping reduces to a per-candidate
+             computation plus a vectorized emission rule:
+                emit(cand) ⇔ cand is its pivot's longest, or
+                             s(cand) < s(next longer candidate).
+             This matches bwt_smem1a's "curr->n == 0 && i+1 < last start"
+             emission logic including the duplicate-size drop (see
+             tests/test_smem.py for the oracle equivalence check).
+  Pass 2   — same two phases, seeded at (start+end)/2 of each long low-occ
+             pass-1 SMEM with min_intv = parent_size+1 (bwamem.c:155-165).
+  Pass 3   — LAST-like forward-only scanner (bwt_seed_strategy1,
+             bwt.c:358-379).
+
+All loops are lax.while_loop with per-lane masks; all shapes static.
+Overflow of any fixed cap sets a per-read flag so the host can route those
+reads to a fallback path (the reference instead mallocs, bwamem.c kvec).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwamem_tpu.ops import fm as fmops
+
+
+@dataclasses.dataclass(frozen=True)
+class SeedingCaps:
+    cand1: int = 64      # pass-1 candidates per read
+    parents: int = 12    # pass-2 parent SMEMs per read
+    cand2: int = 16      # pass-2 candidates per parent
+    pass3: int = 16      # pass-3 intervals per read
+    seeds: int = 256     # expanded seeds per read
+
+    @property
+    def intervals(self) -> int:
+        return self.cand1 + self.parents * self.cand2 + self.pass3
+
+
+class Candidates(NamedTuple):
+    x0: jax.Array      # [N, C] interval (SA range start)
+    x1: jax.Array      # [N, C] reverse-complement range start
+    x2: jax.Array      # [N, C] size
+    end: jax.Array     # [N, C] match end position (exclusive), int32
+    pivot: jax.Array   # [N, C] pivot the candidate came from, int32
+    n: jax.Array       # [N] number written
+    overflow: jax.Array  # [N] bool
+
+
+def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
+                 start: jax.Array, min_intv: jax.Array, cap: int,
+                 multi_pivot: bool) -> Candidates:
+    """Phase A.  seq: [N, L] nt4 codes (pad with 4); start: [N] first pivot
+    (or the single pivot when multi_pivot=False); min_intv: [N].
+
+    Candidate semantics match the forward loop of bwt_smem1a (bwt.c:304-321):
+    push the previous interval on every size change / ambiguous base / read
+    end; stop the pivot when the extended size < min_intv; next pivot = end
+    of the longest match (the value bwt_smem1a returns).
+    """
+    N, L = seq.shape
+    it = fm.occ.dtype
+    rows = jnp.arange(N, dtype=jnp.int32)
+
+    def seq_at(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return jnp.where((pos >= 0) & (pos < l_seq),
+                         seq[rows, p].astype(jnp.int32), 4)
+
+    zero_i = jnp.zeros((N,), jnp.int32)
+    zero_t = jnp.zeros((N,), it)
+    state = dict(
+        phase=jnp.where(start < l_seq, 0, 2).astype(jnp.int32),
+        x=start.astype(jnp.int32),
+        i=zero_i,
+        ik0=zero_t, ik1=zero_t, ik2=zero_t,
+        ik_end=zero_i,
+        c_x0=jnp.zeros((N, cap), it), c_x1=jnp.zeros((N, cap), it),
+        c_x2=jnp.zeros((N, cap), it), c_end=jnp.zeros((N, cap), jnp.int32),
+        c_pivot=jnp.zeros((N, cap), jnp.int32),
+        n=zero_i, overflow=jnp.zeros((N,), bool),
+    )
+
+    def cond(st):
+        return jnp.any(st["phase"] < 2)
+
+    def body(st):
+        phase, x, i = st["phase"], st["x"], st["i"]
+        ik0, ik1, ik2, ik_end = st["ik0"], st["ik1"], st["ik2"], st["ik_end"]
+
+        # ---- phase 0: initialize a pivot ----
+        init = phase == 0
+        qx = seq_at(x)
+        init_amb = init & (qx >= 4)
+        init_ok = init & (qx < 4)
+        s0, s1, s2 = fmops.set_intv(fm, jnp.clip(qx, 0, 3))
+        ik0 = jnp.where(init_ok, s0, ik0)
+        ik1 = jnp.where(init_ok, s1, ik1)
+        ik2 = jnp.where(init_ok, s2, ik2)
+        ik_end = jnp.where(init_ok, x + 1, ik_end)
+        i = jnp.where(init_ok, x + 1, i)
+        # skip ambiguous pivot: x+1 (bwt_smem1a returns x+1 when q[x]>3)
+        x = jnp.where(init_amb, x + 1, x)
+        phase = jnp.where(init_ok, 1, phase)
+        phase = jnp.where(init_amb & (x >= l_seq), 2, phase)
+        # an init lane does not also extend this step
+        ext = (st["phase"] == 1)
+
+        # ---- phase 1: one forward extension step at position i ----
+        qi = seq_at(i)
+        at_end = ext & (i >= l_seq)
+        amb = ext & (i < l_seq) & (qi >= 4)
+        do_ext = ext & (i < l_seq) & (qi < 4)
+        n0, n1, ns = fmops.extend(fm, ik0, ik1, ik2, is_back=False)
+        c = jnp.clip(3 - qi, 0, 3)[:, None]
+        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
+        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
+        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        size_change = do_ext & (e2 != ik2)
+        too_small = size_change & (e2 < st_min_intv)
+        push = at_end | amb | size_change
+        finish = at_end | amb | too_small
+
+        # ---- record candidate ----
+        slot = jnp.where(push & (st["n"] < cap), st["n"], cap)
+        c_x0 = st["c_x0"].at[rows, slot].set(ik0, mode="drop")
+        c_x1 = st["c_x1"].at[rows, slot].set(ik1, mode="drop")
+        c_x2 = st["c_x2"].at[rows, slot].set(ik2, mode="drop")
+        c_end = st["c_end"].at[rows, slot].set(ik_end, mode="drop")
+        c_pivot = st["c_pivot"].at[rows, slot].set(st["x"], mode="drop")
+        n = st["n"] + (push & (st["n"] < cap)).astype(jnp.int32)
+        overflow = st["overflow"] | (push & (st["n"] >= cap))
+
+        # ---- advance ----
+        cont = do_ext & ~finish
+        ik0 = jnp.where(cont, e0, ik0)
+        ik1 = jnp.where(cont, e1, ik1)
+        ik2 = jnp.where(cont, e2, ik2)
+        ik_end = jnp.where(cont, i + 1, ik_end)
+        i = jnp.where(cont, i + 1, i)
+
+        if multi_pivot:
+            x = jnp.where(finish, ik_end, x)
+            phase = jnp.where(finish, jnp.where(x < l_seq, 0, 2), phase)
+        else:
+            phase = jnp.where(finish, 2, phase)
+
+        return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
+                    ik_end=ik_end, c_x0=c_x0, c_x1=c_x1, c_x2=c_x2,
+                    c_end=c_end, c_pivot=c_pivot, n=n, overflow=overflow)
+
+    st_min_intv = min_intv.astype(it)
+    st = jax.lax.while_loop(cond, body, state)
+    return Candidates(st["c_x0"], st["c_x1"], st["c_x2"], st["c_end"],
+                      st["c_pivot"], st["n"], st["overflow"])
+
+
+def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
+                cand: Candidates, read_of_lane: jax.Array,
+                min_intv: jax.Array):
+    """Phase B: flatten candidates to lanes and left-extend each to its
+    leftmost start s with interval size >= min_intv (the backward loop of
+    bwt_smem1a, bwt.c:326-345, made embarrassingly parallel).
+
+    Returns (s, x0, x2) flattened [N*C]: the final interval of [s, end).
+    """
+    N, C = cand.x0.shape
+    lane_read = read_of_lane.reshape(-1)            # [N*C] row in seq
+    valid = (jnp.arange(C, dtype=jnp.int32)[None, :] < cand.n[:, None])
+    valid = valid.reshape(-1)
+    L = seq.shape[1]
+
+    x0 = cand.x0.reshape(-1)
+    x1 = cand.x1.reshape(-1)
+    x2 = cand.x2.reshape(-1)
+    pivot = cand.pivot.reshape(-1)
+    mi = min_intv.reshape(-1).astype(fm.occ.dtype)
+
+    i = pivot - 1
+    alive = valid
+    s = pivot.astype(jnp.int32)
+
+    def seq_at(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return jnp.where(pos >= 0, seq[lane_read, p].astype(jnp.int32), 4)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        alive, i, s, x0, x1, x2 = st
+        qi = seq_at(i)
+        n0, n1, ns = fmops.extend(fm, x0, x1, x2, is_back=True)
+        c = jnp.clip(qi, 0, 3)[:, None]
+        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
+        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
+        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        ok = alive & (i >= 0) & (qi < 4) & (e2 >= mi)
+        die = alive & ~ok
+        s = jnp.where(die, i + 1, s)
+        x0 = jnp.where(ok, e0, x0)
+        x1 = jnp.where(ok, e1, x1)
+        x2 = jnp.where(ok, e2, x2)
+        i = jnp.where(ok, i - 1, i)
+        return ok, i, s, x0, x1, x2
+
+    alive, i, s, x0, x1, x2 = jax.lax.while_loop(
+        cond, body, (alive, i, s, x0, x1, x2))
+    return s, x0, x2, valid
+
+
+def emit_mask(cand: Candidates, s: jax.Array) -> jax.Array:
+    """Vectorized bwt_smem1a emission rule over per-read candidate buffers:
+    a candidate is an SMEM iff it is its pivot's longest (last in slot order
+    for that pivot) or its leftmost start is strictly left of the next-longer
+    candidate's (bwt.c:331-337 containment check)."""
+    N, C = cand.pivot.shape
+    sl = s.reshape(N, C)
+    slots = jnp.arange(C, dtype=jnp.int32)[None, :]
+    valid = slots < cand.n[:, None]
+    nxt_same_pivot = jnp.concatenate(
+        [cand.pivot[:, 1:] == cand.pivot[:, :-1],
+         jnp.zeros((N, 1), bool)], axis=1)
+    nxt_valid = jnp.concatenate(
+        [slots[:, 1:] < cand.n[:, None], jnp.zeros((N, 1), bool)], axis=1)
+    s_next = jnp.concatenate([sl[:, 1:], sl[:, :1]], axis=1)
+    is_last_of_pivot = ~(nxt_same_pivot & nxt_valid)
+    return valid & (is_last_of_pivot | (sl < s_next))
+
+
+def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
+               min_len: int, max_intv: int, cap: int):
+    """LAST-like 3rd pass (bwt_seed_strategy1, bwt.c:358-379): forward-only;
+    emit the extended interval the first time its size drops below max_intv
+    at length > min_len; restart at i+1."""
+    N, L = seq.shape
+    it = fm.occ.dtype
+    rows = jnp.arange(N, dtype=jnp.int32)
+    mi = jnp.asarray(max_intv, it)
+
+    def seq_at(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return jnp.where((pos >= 0) & (pos < l_seq),
+                         seq[rows, p].astype(jnp.int32), 4)
+
+    zero_t = jnp.zeros((N,), it)
+    state = dict(
+        phase=jnp.where(l_seq > 0, 0, 2).astype(jnp.int32),
+        x=jnp.zeros((N,), jnp.int32), i=jnp.zeros((N,), jnp.int32),
+        ik0=zero_t, ik1=zero_t, ik2=zero_t,
+        o_x0=jnp.zeros((N, cap), it), o_x2=jnp.zeros((N, cap), it),
+        o_start=jnp.zeros((N, cap), jnp.int32),
+        o_end=jnp.zeros((N, cap), jnp.int32),
+        n=jnp.zeros((N,), jnp.int32), overflow=jnp.zeros((N,), bool),
+    )
+
+    def cond(st):
+        return jnp.any(st["phase"] < 2)
+
+    def body(st):
+        phase, x, i = st["phase"], st["x"], st["i"]
+        ik0, ik1, ik2 = st["ik0"], st["ik1"], st["ik2"]
+
+        init = phase == 0
+        qx = seq_at(x)
+        init_amb = init & (qx >= 4)
+        init_ok = init & (qx < 4)
+        s0, s1, s2 = fmops.set_intv(fm, jnp.clip(qx, 0, 3))
+        ik0 = jnp.where(init_ok, s0, ik0)
+        ik1 = jnp.where(init_ok, s1, ik1)
+        ik2 = jnp.where(init_ok, s2, ik2)
+        i = jnp.where(init_ok, x + 1, i)
+        x = jnp.where(init_amb, x + 1, x)
+        phase = jnp.where(init_ok, 1, phase)
+        phase = jnp.where((phase == 0) & (x >= l_seq), 2, phase)
+
+        ext = st["phase"] == 1
+        qi = seq_at(i)
+        at_end = ext & (i >= l_seq)            # return len, no emit
+        amb = ext & (i < l_seq) & (qi >= 4)    # return i+1, no emit
+        do_ext = ext & (i < l_seq) & (qi < 4)
+        n0, n1, ns = fmops.extend(fm, ik0, ik1, ik2, is_back=False)
+        c = jnp.clip(3 - qi, 0, 3)[:, None]
+        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
+        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
+        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        hit = do_ext & (e2 < mi) & ((i - x) >= min_len)
+        emit = hit & (e2 > 0)
+
+        slot = jnp.where(emit & (st["n"] < cap), st["n"], cap)
+        o_x0 = st["o_x0"].at[rows, slot].set(e0, mode="drop")
+        o_x2 = st["o_x2"].at[rows, slot].set(e2, mode="drop")
+        o_start = st["o_start"].at[rows, slot].set(x, mode="drop")
+        o_end = st["o_end"].at[rows, slot].set(i + 1, mode="drop")
+        n = st["n"] + (emit & (st["n"] < cap)).astype(jnp.int32)
+        overflow = st["overflow"] | (emit & (st["n"] >= cap))
+
+        cont = do_ext & ~hit
+        ik0 = jnp.where(cont, e0, ik0)
+        ik1 = jnp.where(cont, e1, ik1)
+        ik2 = jnp.where(cont, e2, ik2)
+        i = jnp.where(cont, i + 1, i)
+
+        finish = at_end | amb | hit
+        # next pivot: i+1 on hit/amb; len (done) on at_end
+        x = jnp.where(amb | hit, i + 1, x)
+        phase = jnp.where(finish, jnp.where(at_end | (x >= l_seq), 2, 0),
+                          phase)
+        return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
+                    o_x0=o_x0, o_x2=o_x2, o_start=o_start, o_end=o_end,
+                    n=n, overflow=overflow)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st["o_x0"], st["o_x2"], st["o_start"], st["o_end"], st["n"], st["overflow"]
+
+
+class Intervals(NamedTuple):
+    """Per-read collected seed intervals, sorted by (start, end) like
+    ks_introsort(mem_intv) on info = start<<32|end (bwamem.c:184)."""
+    start: jax.Array   # [N, I] int32
+    end: jax.Array     # [N, I] int32
+    x0: jax.Array      # [N, I] it — SA range start
+    x2: jax.Array      # [N, I] it — occurrence count
+    valid: jax.Array   # [N, I] bool
+    overflow: jax.Array  # [N] bool
+
+
+def collect_intervals(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
+                      min_seed_len: int, split_len: int, split_width: int,
+                      max_mem_intv: int,
+                      caps: SeedingCaps = SeedingCaps()) -> Intervals:
+    """Full 3-pass mem_collect_intv (bwamem.c:137-185)."""
+    N, L = seq.shape
+    it = fm.occ.dtype
+    one = jnp.ones((N,), it)
+
+    # ---- pass 1 ----
+    cand1 = forward_scan(fm, seq, l_seq, jnp.zeros((N,), jnp.int32), one,
+                         caps.cand1, multi_pivot=True)
+    lane_read1 = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, caps.cand1))
+    s1, sx0, sx2, valid1 = back_extend(
+        fm, seq, l_seq, cand1, lane_read1,
+        jnp.broadcast_to(one[:, None], (N, caps.cand1)))
+    emit1 = emit_mask(cand1, s1)
+    s1 = s1.reshape(N, caps.cand1)
+    e1 = cand1.end
+    len_ok1 = (e1 - s1) >= min_seed_len
+    smem1 = emit1 & len_ok1
+    sx0 = sx0.reshape(N, caps.cand1)
+    sx2 = sx2.reshape(N, caps.cand1)
+
+    # ---- pass 2: re-seed long low-occ SMEMs ----
+    qual = smem1 & ((e1 - s1) >= split_len) & (sx2 <= split_width)
+    # compact qualifying parents into [N, parents] slots
+    order = jnp.argsort(~qual, axis=1, stable=True)[:, : caps.parents]
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None]
+    p_valid = jnp.take_along_axis(qual, order, axis=1)
+    p_start = jnp.take_along_axis(s1, order, axis=1)
+    p_end = jnp.take_along_axis(e1, order, axis=1)
+    p_size = jnp.take_along_axis(sx2, order, axis=1)
+    parent_overflow = qual.sum(axis=1) > caps.parents
+
+    NP = N * caps.parents
+    lane_read2 = jnp.broadcast_to(rows, (N, caps.parents)).reshape(-1)
+    pivot2 = ((p_start + p_end) >> 1).reshape(-1)
+    min2 = (p_size + 1).reshape(-1).astype(it)
+    l_seq2 = l_seq[lane_read2]
+    seq2 = seq  # indexed through lane_read2 in scans below
+
+    # single-pivot forward scan per parent lane
+    c2 = forward_scan(fm, seq2[lane_read2], l_seq2,
+                      jnp.where(p_valid.reshape(-1), pivot2, l_seq2),
+                      min2, caps.cand2, multi_pivot=False)
+    lane_read2b = jnp.broadcast_to(lane_read2[:, None], (NP, caps.cand2))
+    min2b = jnp.broadcast_to(min2[:, None], (NP, caps.cand2))
+    s2, sx0_2, sx2_2, valid2 = back_extend(
+        fm, seq, l_seq, c2, lane_read2b, min2b)
+    emit2 = emit_mask(c2, s2)
+    s2 = s2.reshape(NP, caps.cand2)
+    e2 = c2.end
+    smem2 = emit2 & ((e2 - s2) >= min_seed_len)
+    sx0_2 = sx0_2.reshape(NP, caps.cand2)
+    sx2_2 = sx2_2.reshape(NP, caps.cand2)
+
+    # ---- pass 3 ----
+    if max_mem_intv > 0:
+        p3x0, p3x2, p3s, p3e, p3n, p3over = pass3_scan(
+            fm, seq, l_seq, min_seed_len, max_mem_intv, caps.pass3)
+        p3valid = jnp.arange(caps.pass3, dtype=jnp.int32)[None, :] < p3n[:, None]
+    else:
+        z = jnp.zeros((N, caps.pass3), it)
+        p3x0, p3x2 = z, z
+        p3s = jnp.zeros((N, caps.pass3), jnp.int32)
+        p3e = jnp.zeros((N, caps.pass3), jnp.int32)
+        p3valid = jnp.zeros((N, caps.pass3), bool)
+        p3over = jnp.zeros((N,), bool)
+
+    # ---- assemble + sort by (start, end) ----
+    start = jnp.concatenate(
+        [s1, s2.reshape(N, -1), p3s], axis=1)
+    end = jnp.concatenate([e1, e2.reshape(N, -1), p3e], axis=1)
+    x0 = jnp.concatenate([sx0, sx0_2.reshape(N, -1), p3x0], axis=1)
+    x2 = jnp.concatenate([sx2, sx2_2.reshape(N, -1), p3x2], axis=1)
+    valid = jnp.concatenate(
+        [smem1, smem2.reshape(N, -1), p3valid], axis=1)
+
+    key = (start.astype(jnp.int64) << 32) | end.astype(jnp.int64)
+    key = jnp.where(valid, key, jnp.int64(2**62))
+    order = jnp.argsort(key, axis=1, stable=True)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    overflow = (cand1.overflow | c2.overflow.reshape(N, -1).any(axis=1)
+                | parent_overflow | p3over)
+    return Intervals(take(start), take(end), take(x0), take(x2),
+                     take(valid), overflow)

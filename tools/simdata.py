@@ -13,6 +13,8 @@ import numpy as np
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 COMP = {ord("A"): "T", ord("C"): "G", ord("G"): "C", ord("T"): "A", ord("N"): "N"}
+for _b, _c in list(COMP.items()):
+    COMP[ord(chr(_b).lower())] = _c  # tolerate lowercase reference bases
 
 
 def make_genome(length: int, seed: int = 0, n_contigs: int = 2,
