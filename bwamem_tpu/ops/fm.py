@@ -24,7 +24,8 @@ Conventions match the reference exactly:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,12 @@ OCC_INTV_SHIFT = 7
 OCC_INTERVAL = 128
 
 
-class FM(NamedTuple):
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["bwt", "occ", "L2", "sa", "primary",
+                                "seq_len", "l_pac", "pac"],
+                   meta_fields=["sa_intv"])
+@dataclasses.dataclass(frozen=True)
+class FM:
     bwt: jax.Array       # uint32 [nb, 8]
     occ: jax.Array       # it [nb+1, 4]
     L2: jax.Array        # it [5]
@@ -75,8 +81,7 @@ def to_device(fm: FM, sharding=None) -> FM:
     indexed by traced values."""
     put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
         else jnp.asarray
-    return FM(*[put(x) if isinstance(x, (np.ndarray, jnp.ndarray)) else x
-                for x in fm])
+    return jax.tree.map(put, fm)
 
 
 _WORD_OFFS = np.arange(8, dtype=np.int32) * 16  # base offset of each word
@@ -219,3 +224,22 @@ def ref_base(fm: FM, pos: jax.Array) -> jax.Array:
 def pos2rid(ctg_offsets: jax.Array, pos_f: jax.Array) -> jax.Array:
     """Forward-strand position → contig id (bns_pos2rid, bntseq.c:354-368)."""
     return (jnp.searchsorted(ctg_offsets, pos_f, side="right") - 1).astype(jnp.int32)
+
+
+def depos(l_pac, pos: jax.Array):
+    """Both-strands coordinate → (forward position, is_rev)
+    (bns_depos, bntseq.h:87)."""
+    is_rev = pos >= l_pac
+    return jnp.where(is_rev, 2 * l_pac - 1 - pos, pos), is_rev
+
+
+def intv2rid(fm: FM, ctg_offsets: jax.Array, rb: jax.Array,
+             re: jax.Array) -> jax.Array:
+    """Interval → contig id; -2 if it bridges the forward/reverse boundary,
+    -1 if it spans two contigs (bns_intv2rid, bntseq.c:370-378)."""
+    pb, _ = depos(fm.l_pac, rb)
+    pe, _ = depos(fm.l_pac, re - 1)
+    rid_b = pos2rid(ctg_offsets, pb)
+    rid_e = jnp.where(rb < re, pos2rid(ctg_offsets, pe), rid_b)
+    rid = jnp.where(rid_b == rid_e, rid_b, -1)
+    return jnp.where((rb < fm.l_pac) & (re > fm.l_pac), -2, rid)

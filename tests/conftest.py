@@ -35,6 +35,19 @@ def oracle() -> Path:
 
 
 @pytest.fixture(scope="session")
+def built_index(tiny_dataset):
+    """Our index for the tiny dataset, cached across test sessions."""
+    from bwamem_tpu.index import BwaIndex, build_index
+    prefix = tiny_dataset["prefix"] + ".ours"
+    try:
+        return BwaIndex.load(prefix)
+    except FileNotFoundError:
+        idx = build_index(tiny_dataset["fa"])
+        idx.save(prefix)
+        return idx
+
+
+@pytest.fixture(scope="session")
 def tiny_dataset(oracle):
     """Small synthetic genome + reads, indexed by the oracle."""
     sys.path.insert(0, str(REPO / "tools"))

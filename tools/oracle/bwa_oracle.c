@@ -175,6 +175,41 @@ static int cmd_chains(int argc, char *argv[])
     return 0;
 }
 
+/* raw mem_chain2aln output, BEFORE dedup/patch — oracle for the extension
+ * stage in isolation */
+static int cmd_extregs(int argc, char *argv[])
+{
+    mem_opt_t *opt = mem_opt_init();
+    gzFile fp; kseq_t *ks; bwaidx_t *idx; int i;
+    if (argc < 3) { fprintf(stderr, "Usage: bwa_oracle extregs <prefix> <fq>\n"); return 1; }
+    if ((idx = bwa_idx_load(argv[1], BWA_IDX_ALL)) == 0) return 1;
+    fp = gzopen(argv[2], "r");
+    ks = kseq_init(fp);
+    while (kseq_read(ks) >= 0) {
+        mem_chain_v chn;
+        mem_alnreg_v regs = {0,0,0};
+        for (i = 0; i < ks->seq.l; ++i)
+            ks->seq.s[i] = nst_nt4_table[(int)ks->seq.s[i]];
+        chn = mem_chain(opt, idx->bwt, idx->bns, ks->seq.l, (uint8_t*)ks->seq.s, 0);
+        chn.n = mem_chain_flt(opt, chn.n, chn.a);
+        mem_flt_chained_seeds(opt, idx->bns, idx->pac, ks->seq.l, (uint8_t*)ks->seq.s, chn.n, chn.a);
+        for (i = 0; i < chn.n; ++i) {
+            mem_chain2aln(opt, idx->bns, idx->pac, ks->seq.l, (uint8_t*)ks->seq.s, &chn.a[i], &regs);
+            free(chn.a[i].seeds);
+        }
+        free(chn.a);
+        for (i = 0; i < regs.n; ++i) {
+            mem_alnreg_t *p = &regs.a[i];
+            printf("%s\t%ld\t%ld\t%d\t%d\t%d\t%d\t%d\t%d\t%d\t%d\n",
+                   ks->name.s, (long)p->rb, (long)p->re, p->qb, p->qe,
+                   p->rid, p->score, p->truesc, p->w, p->seedcov, p->seedlen0);
+        }
+        free(regs.a);
+    }
+    kseq_destroy(ks); gzclose(fp); bwa_idx_destroy(idx); free(opt);
+    return 0;
+}
+
 static int cmd_regs(int argc, char *argv[])
 {
     mem_opt_t *opt = mem_opt_init();
@@ -251,13 +286,65 @@ static int cmd_mem(int argc, char *argv[])
     return 0;
 }
 
+/* --- ksw: stdin lines "E <h0> <w> <end_bonus> <query> <target>" run
+ * ksw_extend2 with mem defaults and print "score qle tle gtle gscore
+ * max_off"; lines "G <w> <query> <target>" run ksw_global2 and print
+ * "score <cigar>".  Sequences are ACGTN. */
+#include "ksw.h"
+static void seq2nt4(const char *s, uint8_t *out, int *len)
+{
+    int i;
+    for (i = 0; s[i]; ++i) out[i] = nst_nt4_table[(int)s[i]];
+    *len = i;
+}
+
+static int cmd_ksw(int argc, char *argv[])
+{
+    mem_opt_t *opt = mem_opt_init();
+    char kind[4], q[4096], t[4096];
+    static uint8_t qs[4096], ts[4096];
+    (void)argc; (void)argv;
+    while (scanf("%3s", kind) == 1) {
+        if (kind[0] == 'E') {
+            int h0, w, eb, qlen, tlen;
+            int qle, tle, gtle, gscore, max_off, score;
+            if (scanf("%d %d %d %4095s %4095s", &h0, &w, &eb, q, t) != 5) break;
+            seq2nt4(q, qs, &qlen);
+            seq2nt4(t, ts, &tlen);
+            score = ksw_extend2(qlen, qs, tlen, ts, 5, opt->mat,
+                                opt->o_del, opt->e_del, opt->o_ins, opt->e_ins,
+                                w, eb, opt->zdrop, h0,
+                                &qle, &tle, &gtle, &gscore, &max_off);
+            printf("%d %d %d %d %d %d\n", score, qle, tle, gtle, gscore, max_off);
+        } else if (kind[0] == 'G') {
+            int w, qlen, tlen, score, n_cigar = 0, k;
+            uint32_t *cigar = 0;
+            if (scanf("%d %4095s %4095s", &w, q, t) != 3) break;
+            seq2nt4(q, qs, &qlen);
+            seq2nt4(t, ts, &tlen);
+            score = ksw_global2(qlen, qs, tlen, ts, 5, opt->mat,
+                                opt->o_del, opt->e_del, opt->o_ins, opt->e_ins,
+                                w, &n_cigar, &cigar);
+            printf("%d ", score);
+            for (k = 0; k < n_cigar; ++k)
+                printf("%d%c", cigar[k] >> 4, "MIDSH"[cigar[k] & 0xf]);
+            printf("\n");
+            free(cigar);
+        } else break;
+    }
+    free(opt);
+    return 0;
+}
+
 int main(int argc, char *argv[])
 {
+    if (argc >= 2 && strcmp(argv[1], "ksw") == 0) return cmd_ksw(argc-1, argv+1);
     if (argc < 2) return usage();
     if (strcmp(argv[1], "index") == 0) return cmd_index(argc-1, argv+1);
     if (strcmp(argv[1], "mem") == 0) return cmd_mem(argc-1, argv+1);
     if (strcmp(argv[1], "smem") == 0) return cmd_smem(argc-1, argv+1);
     if (strcmp(argv[1], "regs") == 0) return cmd_regs(argc-1, argv+1);
+    if (strcmp(argv[1], "extregs") == 0) return cmd_extregs(argc-1, argv+1);
     if (strcmp(argv[1], "chains") == 0) return cmd_chains(argc-1, argv+1);
     return usage();
 }
