@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""End-to-end alignment benchmark — one JSON line to stdout.
+
+Metric: reads/sec aligning synthetic 101bp single-end Illumina-like reads
+against a synthetic 5Mbp genome (the E. coli-scale config of BASELINE.md's
+acceptance ladder), end-to-end (device seeding/chaining/extension + host
+finalization + SAM text), steady-state after one warmup batch.
+
+vs_baseline: ratio against the CPU reference implementation (upstream
+bwa-mem 0.7.17 compiled from the read-only reference checkout as
+tools/oracle/bwa_oracle, single thread) on the same input — the practical
+speed anchor per BASELINE.md (the reference GPU snapshot cannot produce an
+end-to-end number).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO / ".jaxcache"))
+
+GENOME = 5_000_000
+N_READS = 20_000
+READ_LEN = 101
+BATCH = 4096
+
+
+def ensure_data():
+    import simdata
+    d = REPO / ".benchdata"
+    d.mkdir(exist_ok=True)
+    prefix = d / f"g{GENOME}"
+    fa, fq = str(prefix) + ".fa", str(prefix) + ".fq"
+    if not os.path.exists(str(prefix) + ".ours.bt.npz"):
+        contigs = simdata.make_genome(GENOME, seed=42, n_contigs=1)
+        simdata.write_fasta(contigs, fa)
+        reads = simdata.sim_reads(contigs, N_READS, read_len=READ_LEN,
+                                  seed=43)
+        simdata.write_fastq(reads, fq)
+        from bwamem_tpu.index import build_index
+        idx = build_index(fa)
+        idx.save(str(prefix) + ".ours")
+    return str(prefix), fa, fq
+
+
+def cpu_baseline(prefix: str, fa: str, fq: str) -> float:
+    """reads/s of single-thread CPU bwa mem on the same input (cached)."""
+    cache = Path(prefix + ".cpu_baseline.json")
+    if cache.exists():
+        return json.loads(cache.read_text())["reads_per_sec"]
+    oracle = REPO / "tools" / "oracle" / "bwa_oracle"
+    if not oracle.exists():
+        subprocess.run(["make", "-C", str(oracle.parent)], check=True,
+                       capture_output=True)
+    if not os.path.exists(prefix + ".sa"):
+        subprocess.run([str(oracle), "index", fa, prefix], check=True,
+                       capture_output=True)
+    t0 = time.perf_counter()
+    subprocess.run([str(oracle), "mem", "-t", "1", prefix, fq],
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    dt = time.perf_counter() - t0
+    rps = N_READS / dt
+    cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt}))
+    return rps
+
+
+def main():
+    prefix, fa, fq = ensure_data()
+    base_rps = cpu_baseline(prefix, fa, fq)
+
+    from bwamem_tpu.index import BwaIndex
+    from bwamem_tpu.io.fastq import read_fastx, batches
+    from bwamem_tpu.pipeline.align import Aligner
+
+    idx = BwaIndex.load(prefix + ".ours")
+    reads = list(read_fastx(fq))
+    al = Aligner(idx)
+
+    # warmup / compile on the first batch
+    al.align_batch_se(reads[:BATCH], 0)
+
+    t0 = time.perf_counter()
+    done = 0
+    n_sam = 0
+    for b in batches(iter(reads), BATCH):
+        out = al.align_batch_se(b, done)
+        n_sam += sum(len(s) for s in out)
+        done += len(b)
+    dt = time.perf_counter() - t0
+    rps = done / dt
+
+    print(json.dumps({
+        "metric": "reads_per_sec_se_101bp_5Mbp",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / base_rps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,9 +77,11 @@ class MemOptions:
     min_chain_weight: int = 0
     max_chain_extend: int = 1 << 30
 
-    # mapq (bwamem.c:107)
+    # mapq (bwamem.c:107); mapQ_coef_fac is an INT in the reference
+    # (bwa.h:113), so log(50) truncates to 3 — this truncation is part of
+    # MAPQ parity.
     mapQ_coef_len: float = 50.0
-    mapQ_coef_fac: float = dataclasses.field(default=math.log(50.0))
+    mapQ_coef_fac: int = int(math.log(50.0))
 
     flag: int = 0
 

@@ -1,0 +1,167 @@
+"""SAM text rendering on host from numeric alignment records.
+
+Byte-equivalent of mem_aln2sam (reference bwamem.c:832-956) and
+bwa_print_sam_hdr (bwa.c:520-541).  The reference GPU renders SAM text in
+kernels with a device kstring (SAMGEN_aln2sam_finegrain_kernel,
+cuda/bwamem_GPU.cu:3323-3402, which omits all optional tags); we instead
+keep alignment output numeric on the TPU and do the (cheap, branchy) text
+on host with the FULL tag set of the CPU path: NM MD MC AS XS RG SA pa XA
+XR — the part the reference left unfinished.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from bwamem_tpu.config import (MemOptions, MEM_F_SOFTCLIP, MEM_F_REF_HDR)
+from bwamem_tpu.finalize import Aln
+from bwamem_tpu.io.fastq import Read
+
+CIGAR_CHARS = "MIDSH"
+COMP = "TGCAN"
+FWD = "ACGTN"
+
+
+def sam_header(contigs, rg_line: Optional[str] = None,
+               pg_line: Optional[str] = None,
+               hdr_line: Optional[str] = None) -> str:
+    out = []
+    if not (hdr_line and "@SQ\t" in hdr_line):
+        for c in contigs:
+            ah = "\tAH:*" if c.is_alt else ""
+            out.append(f"@SQ\tSN:{c.name}\tLN:{c.len}{ah}")
+    if hdr_line:
+        out.append(hdr_line)
+    if rg_line:
+        out.append(rg_line)
+    if pg_line:
+        out.append(pg_line)
+    return "".join(s + "\n" for s in out)
+
+
+def _cigar_text(opt: MemOptions, p: Aln, which: int) -> str:
+    """add_cigar (bwamem.c:819-830): hard clips for supplementary."""
+    if not p.cigar:
+        return "*"
+    out = []
+    for op, ln in p.cigar:
+        c = op
+        if not (opt.flag & MEM_F_SOFTCLIP) and not p.is_alt and c in (3, 4):
+            c = 4 if which else 3
+        out.append(f"{ln}{CIGAR_CHARS[c]}")
+    return "".join(out)
+
+
+def _rlen(p: Aln) -> int:
+    return sum(ln for op, ln in p.cigar if op in (0, 2))
+
+
+def aln2sam(opt: MemOptions, ctg_names: list[str], read: Read, n: int,
+            alns: list[Aln], which: int, m: Optional[Aln] = None,
+            rg_id: Optional[str] = None,
+            ctg_annos: Optional[list[str]] = None) -> str:
+    """One SAM line (mem_aln2sam, bwamem.c:832-956).  `m` = mate record for
+    the PE path; None for single-end."""
+    import copy
+    p = copy.copy(alns[which])
+    if m is not None:
+        m = copy.copy(m)
+    p.flag |= 0x1 if m is not None else 0
+    p.flag |= 0x4 if p.rid < 0 else 0
+    p.flag |= 0x8 if (m is not None and m.rid < 0) else 0
+    if p.rid < 0 and m is not None and m.rid >= 0:
+        p.rid, p.pos, p.is_rev, p.cigar = m.rid, m.pos, m.is_rev, []
+    if m is not None and m.rid < 0 and p.rid >= 0:
+        m.rid, m.pos, m.is_rev, m.cigar = p.rid, p.pos, p.is_rev, []
+    p.flag |= 0x10 if p.is_rev else 0
+    p.flag |= 0x20 if (m is not None and m.is_rev) else 0
+
+    s = [read.name, "\t",
+         str((p.flag & 0xFFFF) | (0x100 if p.flag & 0x10000 else 0)), "\t"]
+    if p.rid >= 0:
+        s += [ctg_names[p.rid], "\t", str(p.pos + 1), "\t", str(p.mapq),
+              "\t", _cigar_text(opt, p, which)]
+    else:
+        s.append("*\t0\t0\t*")
+    s.append("\t")
+
+    if m is not None and m.rid >= 0:
+        s.append("=" if p.rid == m.rid else ctg_names[m.rid])
+        s += ["\t", str(m.pos + 1), "\t"]
+        if p.rid == m.rid:
+            p0 = p.pos + (_rlen(p) - 1 if p.is_rev else 0)
+            p1 = m.pos + (_rlen(m) - 1 if m.is_rev else 0)
+            if not m.cigar or not p.cigar:
+                s.append("0")
+            else:
+                s.append(str(-(p0 - p1 + (1 if p0 > p1 else
+                                          -1 if p0 < p1 else 0))))
+        else:
+            s.append("0")
+    else:
+        s.append("*\t0\t0")
+    s.append("\t")
+
+    # SEQ / QUAL
+    if p.flag & 0x100:
+        s.append("*\t*")
+    else:
+        qb, qe = 0, read.l_seq
+        if p.cigar and which and not (opt.flag & MEM_F_SOFTCLIP) \
+                and not p.is_alt:
+            c0, cl = p.cigar[0]
+            cn, cnl = p.cigar[-1]
+            if not p.is_rev:
+                if c0 in (3, 4):
+                    qb += cl
+                if cn in (3, 4):
+                    qe -= cnl
+            else:
+                if c0 in (3, 4):
+                    qe -= cl
+                if cn in (3, 4):
+                    qb += cnl
+        if not p.is_rev:
+            s.append("".join(FWD[b] for b in read.seq[qb:qe]))
+            s.append("\t")
+            s.append(read.qual[qb:qe] if read.qual else "*")
+        else:
+            s.append("".join(COMP[b] for b in read.seq[qe - 1:None if qb == 0
+                                                       else qb - 1:-1]))
+            s.append("\t")
+            s.append(read.qual[qe - 1:None if qb == 0 else qb - 1:-1]
+                     if read.qual else "*")
+
+    # optional tags
+    if p.cigar:
+        s += ["\tNM:i:", str(p.NM), "\tMD:Z:", p.MD]
+    if m is not None and m.cigar:
+        s += ["\tMC:Z:", _cigar_text(opt, m, which)]
+    if p.score >= 0:
+        s += ["\tAS:i:", str(p.score)]
+    if p.sub >= 0:
+        s += ["\tXS:i:", str(p.sub)]
+    if rg_id:
+        s += ["\tRG:Z:", rg_id]
+    if not (p.flag & 0x100):
+        others = [i for i in range(n)
+                  if i != which and not (alns[i].flag & 0x100)]
+        if others:
+            s.append("\tSA:Z:")
+            for i in range(n):
+                r = alns[i]
+                if i == which or (r.flag & 0x100):
+                    continue
+                cig = "".join(f"{ln}{CIGAR_CHARS[op]}" for op, ln in r.cigar)
+                s.append(f"{ctg_names[r.rid]},{r.pos + 1},"
+                         f"{'+-'[r.is_rev]},{cig},{r.mapq},{r.NM};")
+        if p.alt_sc > 0:
+            s.append("\tpa:f:%.3f" % (p.score / p.alt_sc))
+    if p.XA:
+        s += ["\tXB:Z:" if opt.flag & 0x2000 else "\tXA:Z:", p.XA]
+    if read.comment:
+        s += ["\t", read.comment]
+    if (opt.flag & MEM_F_REF_HDR) and p.rid >= 0 and ctg_annos \
+            and ctg_annos[p.rid]:
+        s += ["\tXR:Z:", ctg_annos[p.rid].replace("\t", " ")]
+    s.append("\n")
+    return "".join(s)

@@ -1,0 +1,562 @@
+"""End-to-end alignment driver: reads → SAM records (SE and PE).
+
+Maps the reference's per-batch flow (mem_process_seqs, bwamem.c:1215-1244;
+GPU driver mem_align_GPU, cuda/bwamem_GPU.cu:3457-3899) onto the TPU split:
+
+  device (one XLA program, pipeline.seedchain.align_regs_jit):
+      nt4 batch → SMEM intervals → seeds → chains → filtered chains →
+      banded-SW extension → fixed-shape alignment-region tables
+  host  (finalize.py / pair.py):
+      dedup/patch → [PE: pestat → mate-rescue rounds → pairing] →
+      primary marking → record selection & XA phase A
+  device (ops.global_sw / ops.local_sw):
+      batched banded global alignment for every CIGAR job; batched
+      unbanded local SW for every mate-rescue job
+  host  (io.sam):
+      NM/MD, clips, flags, mate fields, SAM text
+
+Batch shapes are static per (N_pad, L_pad) bucket so each bucket compiles
+once (the reference's fixed minibatch of 20K × ≤310bp reads,
+cuda/batch_config.h:5-13, plays the same role).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwamem_tpu.config import MemOptions, MEM_F_ALL, MEM_F_NO_MULTI, \
+    MEM_F_KEEP_SUPP_MAPQ, MEM_F_PRIMARY5, MEM_F_NOPAIRING, MEM_F_NO_RESCUE
+from bwamem_tpu import finalize as fin
+from bwamem_tpu import pair as pairmod
+from bwamem_tpu.io.fastq import Read, pack_batch
+from bwamem_tpu.io import sam as samio
+from bwamem_tpu.ops import fm as fmops
+from bwamem_tpu.ops import global_sw
+from bwamem_tpu.ops import local_sw
+from bwamem_tpu.pipeline import seedchain
+
+
+def _bucket(x: int, lo: int = 32) -> int:
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
+def raw_mapq(diff: int, a: int) -> int:
+    """bwamem_pair.c:276"""
+    return int(6.02 * diff / a + .499)
+
+
+class Aligner:
+    """Holds the device-resident index + compiled-program cache."""
+
+    def __init__(self, idx, opt: MemOptions | None = None, *,
+                 seed_cap: int = 256, chain_cap: int = 64,
+                 reg_cap: int = 16, sharding=None):
+        self.idx = idx
+        self.opt = opt or MemOptions()
+        self.seed_cap = seed_cap
+        self.chain_cap = chain_cap
+        self.reg_cap = reg_cap
+        fm_host = fmops.fm_from_index(idx)
+        self.fm = fmops.to_device(fm_host, sharding)
+        it = idx.itype
+        self.ctg_offsets = jnp.asarray(idx.contig_offsets().astype(it))
+        self.ctg_is_alt = jnp.asarray(idx.is_alt_flags())
+        self.ctg_offsets_np = idx.contig_offsets()
+        self.ctg_is_alt_np = idx.is_alt_flags()
+        self.ctg_names = [c.name for c in idx.contigs]
+        self.ctg_annos = [c.anno for c in idx.contigs]
+        self.pac = idx.pac
+        self.l_pac = int(idx.l_pac)
+        self._mat = self.opt.mat
+
+    # ---------------------------------------------------------- device ops
+
+    def _device_regs(self, seq: np.ndarray, l_seq: np.ndarray):
+        res, regs = seedchain.align_regs(
+            self.fm, self.ctg_offsets, self.ctg_is_alt,
+            jnp.asarray(seq), jnp.asarray(l_seq), self.opt,
+            seed_cap=self.seed_cap, chain_cap=self.chain_cap,
+            reg_cap=self.reg_cap)
+        return jax.tree.map(np.asarray, regs)
+
+    def _device_global(self, q, qlen, t, tlen, w, w_max):
+        B = q.shape[0]
+        Bp = _bucket(B, lo=8)
+        if Bp != B:
+            pad = Bp - B
+            q = np.pad(q, ((0, pad), (0, 0)), constant_values=4)
+            t = np.pad(t, ((0, pad), (0, 0)), constant_values=4)
+            qlen = np.pad(qlen, (0, pad), constant_values=1)
+            tlen = np.pad(tlen, (0, pad), constant_values=1)
+            w = np.pad(w, (0, pad), constant_values=3)
+        res = global_sw.global_align_batch(
+            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+            jnp.asarray(tlen), jnp.asarray(w), self._mat,
+            o_del=self.opt.o_del, e_del=self.opt.e_del,
+            o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+            w_max=w_max, max_cigar=32)
+        return jax.tree.map(lambda a: np.asarray(a)[:B], res)
+
+    def _device_ksw(self, q, qlen, t, tlen, minsc, p):
+        """p = SIMD stripe of the emulated ksw kernel: 16 when every lane
+        has l_ms*a < 250 (KSW_XBYTE, bwamem_pair.c:176), else 8; the caller
+        groups jobs accordingly.  LQ is padded so phantom columns fit."""
+        B = q.shape[0]
+        LQ = _bucket(-(-q.shape[1] // p) * p, lo=32)
+        LT = _bucket(t.shape[1], lo=64)
+        Bp = _bucket(B, lo=8)
+        q = np.pad(q, ((0, Bp - B), (0, LQ - q.shape[1])),
+                   constant_values=4)
+        t = np.pad(t, ((0, Bp - B), (0, LT - t.shape[1])),
+                   constant_values=4)
+        qlen = np.pad(qlen, (0, Bp - B), constant_values=0)
+        tlen = np.pad(tlen, (0, Bp - B), constant_values=0)
+        minsc = np.pad(minsc, (0, Bp - B), constant_values=1)
+        res = local_sw.ksw_align_batch(
+            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
+            jnp.asarray(tlen), jnp.asarray(minsc), self._mat,
+            o_del=self.opt.o_del, e_del=self.opt.e_del,
+            o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+            max_mat=int(self.opt.a), p=p)
+        return jax.tree.map(lambda a: np.asarray(a)[:B], res)
+
+    # ------------------------------------------------ shared host phases
+
+    def _regs_from_device(self, reads: list[Read]) -> list[list[fin.AlnReg]]:
+        """Device front half + the tail of mem_align1_core (dedup + is_alt,
+        bwamem.c:1083-1095).  Returns per-read reg lists, pre-mark_primary."""
+        n = len(reads)
+        N = _bucket(n, lo=8)
+        L = _bucket(max(r.l_seq for r in reads), lo=32)
+        seq, l_seq = pack_batch(reads, N, L)
+        d = self._device_regs(seq, l_seq)
+        out = []
+        for i in range(n):
+            ri = []
+            for k in range(int(d.n[i])):
+                ri.append(fin.AlnReg(
+                    rb=int(d.rb[i, k]), re=int(d.re[i, k]),
+                    qb=int(d.qb[i, k]), qe=int(d.qe[i, k]),
+                    rid=int(d.rid[i, k]), score=int(d.score[i, k]),
+                    truesc=int(d.truesc[i, k]), w=int(d.w[i, k]),
+                    seedcov=int(d.seedcov[i, k]),
+                    seedlen0=int(d.seedlen0[i, k]),
+                    frac_rep=float(d.frac_rep[i])))
+            ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
+                                      reads[i].seq, ri)
+            for r in ri:
+                if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
+                    r.is_alt = 1
+            out.append(ri)
+        return out
+
+    def _phaseA_gen_alt(self, regs, read, jobs):
+        """mem_gen_alt accounting (bwamem_extra.c:117-141) → XA cigar jobs.
+        Returns [(reg_idx, primary_idx, job_idx)]."""
+        opt = self.opt
+        xas = []
+        if opt.flag & MEM_F_ALL:
+            return xas
+        cnt = [0] * len(regs)
+        has_alt = [False] * len(regs)
+        pri_of = []
+        for k, p in enumerate(regs):
+            r = p.secondary_all
+            ok = r >= 0 and p.score >= regs[r].score * opt.XA_drop_ratio
+            pri_of.append(r if ok else -1)
+            if ok:
+                cnt[r] += 1
+                if p.is_alt:
+                    has_alt[r] = True
+        for k, p in enumerate(regs):
+            r = pri_of[k]
+            if r < 0:
+                continue
+            if cnt[r] > opt.max_XA_hits_alt or \
+                    (not has_alt[r] and cnt[r] > opt.max_XA_hits):
+                continue
+            jobs.append(fin.CigarJob(reg=p, query=read.seq,
+                                     l_query=read.l_seq))
+            xas.append((k, r, len(jobs) - 1))
+        return xas
+
+    def _phaseA_reg2sam(self, regs, read, jobs):
+        """mem_reg2sam selection (bwamem.c:1025-1041) → cigar jobs.
+        Returns [(reg_idx, job_idx)]."""
+        opt = self.opt
+        picks = []
+        for k, p in enumerate(regs):
+            if p.score < opt.T:
+                continue
+            if p.secondary >= 0 and (p.is_alt or not (opt.flag & MEM_F_ALL)):
+                continue
+            if p.secondary >= 0 and p.secondary < fin.INT_MAX and \
+                    p.score < regs[p.secondary].score * opt.drop_ratio:
+                continue
+            jobs.append(fin.CigarJob(reg=p, query=read.seq,
+                                     l_query=read.l_seq))
+            picks.append((k, len(jobs) - 1))
+        return picks
+
+    def _xa_strings(self, xas, jobs):
+        """mem_gen_alt rendering (bwamem_extra.c:142-160)."""
+        xa_by_pri: dict[int, list[str]] = {}
+        for k, r, jidx in xas:
+            t = fin.reg2aln_finish(self.opt, self.ctg_offsets_np,
+                                   self.l_pac, jobs[jidx])
+            cig = "".join(f"{ln}{'MIDSHN'[op]}" for op, ln in t.cigar)
+            entry = (f"{self.ctg_names[t.rid]},{'+-'[t.is_rev]}"
+                     f"{t.pos + 1},{cig},{t.NM}")
+            if self.opt.flag & 0x2000:  # MEM_F_XB
+                entry += f",{t.score}"
+            xa_by_pri.setdefault(r, []).append(entry + ";")
+        return xa_by_pri
+
+    def _phaseC_reg2sam(self, read, regs, picks, xa_by_pri, jobs,
+                        extra_flag, mate, rg_id):
+        """mem_reg2sam phase C (bwamem.c:1025-1056)."""
+        opt = self.opt
+        alns: list[fin.Aln] = []
+        for k, jidx in picks:
+            p = regs[k]
+            q = fin.reg2aln_finish(opt, self.ctg_offsets_np, self.l_pac,
+                                   jobs[jidx])
+            assert q.rid >= 0
+            if k in xa_by_pri:
+                q.XA = "".join(xa_by_pri[k])
+            q.flag |= extra_flag
+            if p.secondary >= 0:
+                q.sub = -1
+            if alns and p.secondary < 0:
+                q.flag |= 0x10000 if opt.flag & MEM_F_NO_MULTI else 0x800
+            if not (opt.flag & MEM_F_KEEP_SUPP_MAPQ) and alns and \
+                    not p.is_alt and q.mapq > alns[0].mapq:
+                q.mapq = alns[0].mapq
+            alns.append(q)
+        if not alns:
+            t = fin.unmapped_aln()
+            t.flag |= extra_flag
+            return samio.aln2sam(opt, self.ctg_names, read, 1, [t], 0,
+                                 m=mate, rg_id=rg_id,
+                                 ctg_annos=self.ctg_annos)
+        return "".join(
+            samio.aln2sam(opt, self.ctg_names, read, len(alns), alns, w,
+                          m=mate, rg_id=rg_id, ctg_annos=self.ctg_annos)
+            for w in range(len(alns)))
+
+    # ------------------------------------------------------------ SE batch
+
+    def align_batch_se(self, reads: list[Read], n_processed: int = 0,
+                       rg_id: str | None = None) -> list[str]:
+        """Returns one SAM string (possibly multi-line) per read."""
+        opt = self.opt
+        if not reads:
+            return []
+        all_regs = self._regs_from_device(reads)
+        jobs: list[fin.CigarJob] = []
+        sel, xa_jobs = [], []
+        for i, regs in enumerate(all_regs):
+            fin.mark_primary_se(opt, regs, n_processed + i)
+            if opt.flag & MEM_F_PRIMARY5:
+                fin.reorder_primary5(opt, regs)
+            xa_jobs.append(self._phaseA_gen_alt(regs, reads[i], jobs))
+            sel.append(self._phaseA_reg2sam(regs, reads[i], jobs))
+        fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
+                           self._device_global)
+        out = []
+        for i, regs in enumerate(all_regs):
+            xa = self._xa_strings(xa_jobs[i], jobs)
+            out.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
+                                            jobs, 0, None, rg_id))
+        return out
+
+    # ------------------------------------------------------------ PE batch
+
+    def _matesw_rounds(self, reads, all_regs, pes, n_pairs):
+        """Mate rescue (mem_sam_pe head, bwamem_pair.c:291-301): per pair a
+        sequential list of mem_matesw calls; executed in lockstep rounds so
+        the unbanded SW batches across pairs (device ksw_align_batch)."""
+        opt = self.opt
+        import copy
+        # per-pair candidate lists b[0], b[1] (snapshot copies,
+        # bwamem_pair.c:293-297)
+        worklists = []
+        for p in range(n_pairs):
+            calls = []
+            for i in range(2):
+                a_i = all_regs[2 * p + i]
+                if not a_i:
+                    continue
+                b = [r for r in a_i
+                     if r.score >= a_i[0].score - opt.pen_unpaired]
+                for reg in b[: opt.max_matesw]:
+                    calls.append((i, copy.copy(reg)))
+            worklists.append(calls)
+        step = 0
+        while True:
+            batch_jobs = []
+            owners = []
+            any_left = False
+            for p in range(n_pairs):
+                if step >= len(worklists[p]):
+                    continue
+                any_left = True
+                i, anchor = worklists[p][step]
+                mate_read = reads[2 * p + (1 - i)]
+                ma = all_regs[2 * p + (1 - i)]
+                js = pairmod.prepare_matesw_call(
+                    opt, self.pac, self.l_pac, self.ctg_offsets_np, pes,
+                    anchor, mate_read.l_seq, mate_read.seq, ma)
+                for j in js:
+                    j.pair_i = p
+                    j.end = 1 - i
+                    owners.append(j)
+                    if j.valid:
+                        batch_jobs.append(j)
+            if not any_left:
+                break
+            if batch_jobs:
+                # group by ksw precision (XBYTE stripe 16 vs i16 stripe 8)
+                for p_stripe, grp in (
+                        (16, [j for j in batch_jobs
+                              if j.l_ms * opt.a < 250]),
+                        (8, [j for j in batch_jobs
+                             if j.l_ms * opt.a >= 250])):
+                    if not grp:
+                        continue
+                    LQ = max(len(j.seq) for j in grp)
+                    LT = max(j.re - j.rb for j in grp)
+                    B = len(grp)
+                    q = np.full((B, LQ), 4, np.uint8)
+                    t = np.full((B, LT), 4, np.uint8)
+                    qlen = np.zeros(B, np.int32)
+                    tlen = np.zeros(B, np.int32)
+                    minsc = np.full(B, opt.min_seed_len * opt.a, np.int32)
+                    for b, j in enumerate(grp):
+                        q[b, : len(j.seq)] = j.seq
+                        ref = fin.get_seq_np(self.pac, self.l_pac,
+                                             j.rb, j.re)
+                        t[b, : len(ref)] = ref
+                        qlen[b], tlen[b] = len(j.seq), len(ref)
+                    res = self._device_ksw(q, qlen, t, tlen, minsc,
+                                           p_stripe)
+                    for b, j in enumerate(grp):
+                        j.result = (int(res.score[b]), int(res.tb[b]),
+                                    int(res.te[b]), int(res.qb[b]),
+                                    int(res.qe[b]), int(res.score2[b]))
+            # apply in (pair, r) order — r ascending within each call
+            for j in owners:
+                ma = all_regs[2 * j.pair_i + j.end]
+                if j.valid:
+                    sc, tb, te, qb, qe, sc2 = j.result
+                    pairmod.apply_matesw_result(opt, self.l_pac, j, sc, tb,
+                                                te, qb, qe, sc2, ma)
+            step += 1
+
+    def align_batch_pe(self, reads: list[Read], n_processed: int = 0,
+                       rg_id: str | None = None,
+                       pes0: dict | None = None) -> list[str]:
+        """Paired-end batch (mem_sam_pe, bwamem_pair.c:278-419); reads are
+        interleaved R1,R2.  Returns one SAM string per read."""
+        opt = self.opt
+        if not reads:
+            return []
+        assert len(reads) % 2 == 0, "PE batch must be interleaved pairs"
+        n_pairs = len(reads) // 2
+        all_regs = self._regs_from_device(reads)
+
+        if pes0 is not None:
+            pes = pairmod.pes_from_spec(pes0)
+        else:
+            pes = pairmod.pestat(
+                opt, self.l_pac,
+                [(all_regs[2 * p], all_regs[2 * p + 1])
+                 for p in range(n_pairs)])
+
+        if not (opt.flag & MEM_F_NO_RESCUE):
+            self._matesw_rounds(reads, all_regs, pes, n_pairs)
+
+        # per-pair phase A
+        jobs: list[fin.CigarJob] = []
+        plans = []
+        for p in range(n_pairs):
+            pid = (n_processed >> 1) + p
+            a = (all_regs[2 * p], all_regs[2 * p + 1])
+            s = (reads[2 * p], reads[2 * p + 1])
+            n_pri = [fin.mark_primary_se(opt, a[0], (pid << 1) | 0),
+                     fin.mark_primary_se(opt, a[1], (pid << 1) | 1)]
+            if opt.flag & MEM_F_PRIMARY5:
+                fin.reorder_primary5(opt, a[0])
+                fin.reorder_primary5(opt, a[1])
+            plan = dict(mode="un", n_pri=n_pri, extra=1)
+            paired = False
+            if not (opt.flag & MEM_F_NOPAIRING) and n_pri[0] and n_pri[1]:
+                o, subo, n_sub, z = pairmod.mem_pair(
+                    opt, self.l_pac, self.ctg_offsets_np, pes, a, pid,
+                    n_pri)
+                if o > 0:
+                    is_multi = False
+                    for i in range(2):
+                        if any(a[i][j].secondary < 0
+                               and a[i][j].score >= opt.T
+                               for j in range(1, n_pri[i])):
+                            is_multi = True
+                    if not is_multi:
+                        paired = True
+                        score_un = a[0][0].score + a[1][0].score - \
+                            opt.pen_unpaired
+                        subo = max(subo, score_un)
+                        q_pe = raw_mapq(o - subo, opt.a)
+                        if n_sub > 0:
+                            q_pe -= int(4.343 * np.log(n_sub + 1) + .499)
+                        q_pe = min(max(q_pe, 0), 60)
+                        q_pe = int(q_pe * (1. - .5 * (a[0][0].frac_rep
+                                                      + a[1][0].frac_rep))
+                                   + .499)
+                        extra = 1
+                        if o > score_un:   # paired alignment preferred
+                            q_se = [0, 0]
+                            for i in range(2):
+                                c = a[i][z[i]]
+                                if c.secondary >= 0:
+                                    c.sub = a[i][c.secondary].score
+                                    c.secondary = -2
+                                q_se[i] = fin.approx_mapq_se(opt, c)
+                            for i in range(2):
+                                q_se[i] = q_se[i] if q_se[i] > q_pe else \
+                                    (q_pe if q_pe < q_se[i] + 40
+                                     else q_se[i] + 40)
+                            extra |= 2
+                            for i in range(2):
+                                c = a[i][z[i]]
+                                cap = raw_mapq(c.score - c.csub, opt.a)
+                                q_se[i] = min(q_se[i], cap)
+                        else:
+                            z = [0, 0]
+                            q_se = [fin.approx_mapq_se(opt, a[0][0]),
+                                    fin.approx_mapq_se(opt, a[1][0])]
+                        # secondary/primary switcheroo (bwamem_pair.c:352)
+                        for i in range(2):
+                            k = a[i][z[i]].secondary_all
+                            if 0 <= k < n_pri[i]:
+                                for j in range(len(a[i])):
+                                    if a[i][j].secondary_all == k or j == k:
+                                        a[i][j].secondary_all = z[i]
+                                a[i][z[i]].secondary_all = -1
+                        xa = [self._phaseA_gen_alt(a[i], s[i], jobs)
+                              for i in range(2)]
+                        hjob = [None, None]
+                        gjob = [None, None]
+                        for i in range(2):
+                            jobs.append(fin.CigarJob(reg=a[i][z[i]],
+                                                     query=s[i].seq,
+                                                     l_query=s[i].l_seq))
+                            hjob[i] = len(jobs) - 1
+                            if n_pri[i] < len(a[i]):
+                                pp = a[i][n_pri[i]]
+                                if pp.score < opt.T or pp.secondary >= 0 \
+                                        or not pp.is_alt:
+                                    continue
+                                jobs.append(fin.CigarJob(reg=pp,
+                                                         query=s[i].seq,
+                                                         l_query=s[i].l_seq))
+                                gjob[i] = len(jobs) - 1
+                        plan = dict(mode="pair", n_pri=n_pri, z=z,
+                                    q_se=q_se, extra=extra, xa=xa,
+                                    hjob=hjob, gjob=gjob)
+            if not paired:
+                extra = 1
+                which = [-1, -1]
+                hjob = [None, None]
+                for i in range(2):
+                    if a[i]:
+                        if a[i][0].score >= opt.T:
+                            which[i] = 0
+                        elif n_pri[i] < len(a[i]) and \
+                                a[i][n_pri[i]].score >= opt.T:
+                            which[i] = n_pri[i]
+                    if which[i] >= 0:
+                        jobs.append(fin.CigarJob(reg=a[i][which[i]],
+                                                 query=s[i].seq,
+                                                 l_query=s[i].l_seq))
+                        hjob[i] = len(jobs) - 1
+                # proper-pair flag from the selected records
+                # (bwamem_pair.c:410-415)
+                hrid = [a[i][which[i]].rid if which[i] >= 0 else -1
+                        for i in range(2)]
+                if not (opt.flag & MEM_F_NOPAIRING) and \
+                        hrid[0] == hrid[1] and hrid[0] >= 0:
+                    d, dist = pairmod.infer_dir(self.l_pac, a[0][0].rb,
+                                                a[1][0].rb)
+                    if not pes[d].failed and \
+                            pes[d].low <= dist <= pes[d].high:
+                        extra |= 2
+                xa = [self._phaseA_gen_alt(a[i], s[i], jobs)
+                      for i in range(2)]
+                sel = [self._phaseA_reg2sam(a[i], s[i], jobs)
+                       for i in range(2)]
+                plan = dict(mode="un", n_pri=n_pri, extra=extra,
+                            hjob=hjob, xa=xa, sel=sel)
+            plans.append(plan)
+
+        fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
+                           self._device_global)
+
+        # phase C
+        out: list[str] = [""] * len(reads)
+        for p in range(n_pairs):
+            plan = plans[p]
+            a = (all_regs[2 * p], all_regs[2 * p + 1])
+            s = (reads[2 * p], reads[2 * p + 1])
+            if plan["mode"] == "pair":
+                z, q_se, extra = plan["z"], plan["q_se"], plan["extra"]
+                h = [None, None]
+                aa = [[], []]
+                for i in range(2):
+                    xa_by_pri = self._xa_strings(plan["xa"][i], jobs)
+                    hi = fin.reg2aln_finish(opt, self.ctg_offsets_np,
+                                            self.l_pac,
+                                            jobs[plan["hjob"][i]])
+                    hi.mapq = q_se[i]
+                    hi.flag |= (0x40 << i) | extra
+                    if z[i] in xa_by_pri:
+                        hi.XA = "".join(xa_by_pri[z[i]])
+                    h[i] = hi
+                    aa[i].append(hi)
+                    if plan["gjob"][i] is not None:
+                        gi = fin.reg2aln_finish(opt, self.ctg_offsets_np,
+                                                self.l_pac,
+                                                jobs[plan["gjob"][i]])
+                        gi.flag |= 0x800 | (0x40 << i) | extra
+                        npr = plan["n_pri"][i]
+                        if npr in xa_by_pri:
+                            gi.XA = "".join(xa_by_pri[npr])
+                        aa[i].append(gi)
+                for i in range(2):
+                    out[2 * p + i] = "".join(
+                        samio.aln2sam(opt, self.ctg_names, s[i],
+                                      len(aa[i]), aa[i], w, m=h[1 - i],
+                                      rg_id=rg_id,
+                                      ctg_annos=self.ctg_annos)
+                        for w in range(len(aa[i])))
+            else:
+                extra = plan["extra"]
+                h = [None, None]
+                for i in range(2):
+                    if plan["hjob"][i] is not None:
+                        h[i] = fin.reg2aln_finish(opt, self.ctg_offsets_np,
+                                                  self.l_pac,
+                                                  jobs[plan["hjob"][i]])
+                    else:
+                        h[i] = fin.unmapped_aln()
+                for i in range(2):
+                    xa_by_pri = self._xa_strings(plan["xa"][i], jobs)
+                    out[2 * p + i] = self._phaseC_reg2sam(
+                        s[i], a[i], plan["sel"][i], xa_by_pri, jobs,
+                        (0x41 if i == 0 else 0x81) | extra, h[1 - i],
+                        rg_id)
+        return out

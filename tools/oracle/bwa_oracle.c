@@ -289,7 +289,10 @@ static int cmd_mem(int argc, char *argv[])
 /* --- ksw: stdin lines "E <h0> <w> <end_bonus> <query> <target>" run
  * ksw_extend2 with mem defaults and print "score qle tle gtle gscore
  * max_off"; lines "G <w> <query> <target>" run ksw_global2 and print
- * "score <cigar>".  Sequences are ACGTN. */
+ * "score <cigar>"; lines "A <minsc> <byte01> <query> <target>" run
+ * ksw_align2 with xtra = XSUBO|XSTART|minsc (|XBYTE if byte01) as
+ * mem_matesw does (bwamem_pair.c:176) and print "score te qe score2 te2
+ * tb qb".  Sequences are ACGTN. */
 #include "ksw.h"
 static void seq2nt4(const char *s, uint8_t *out, int *len)
 {
@@ -316,6 +319,18 @@ static int cmd_ksw(int argc, char *argv[])
                                 w, eb, opt->zdrop, h0,
                                 &qle, &tle, &gtle, &gscore, &max_off);
             printf("%d %d %d %d %d %d\n", score, qle, tle, gtle, gscore, max_off);
+        } else if (kind[0] == 'A') {
+            int minsc, usebyte, qlen, tlen, xtra;
+            kswr_t x;
+            if (scanf("%d %d %4095s %4095s", &minsc, &usebyte, q, t) != 4) break;
+            seq2nt4(q, qs, &qlen);
+            seq2nt4(t, ts, &tlen);
+            xtra = KSW_XSUBO | KSW_XSTART | (usebyte? KSW_XBYTE : 0) | minsc;
+            x = ksw_align2(qlen, qs, tlen, ts, 5, opt->mat,
+                           opt->o_del, opt->e_del, opt->o_ins, opt->e_ins,
+                           xtra, 0);
+            printf("%d %d %d %d %d %d %d\n", x.score, x.te, x.qe,
+                   x.score2, x.te2, x.tb, x.qb);
         } else if (kind[0] == 'G') {
             int w, qlen, tlen, score, n_cigar = 0, k;
             uint32_t *cigar = 0;
