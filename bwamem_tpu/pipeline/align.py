@@ -75,13 +75,12 @@ class Aligner:
 
     # ---------------------------------------------------------- device ops
 
-    def _device_regs(self, seq: np.ndarray, l_seq: np.ndarray):
-        res, regs = seedchain.align_regs(
+    def _device_worklist(self, seq: np.ndarray, l_seq: np.ndarray):
+        wr = seedchain.seed_chain_worklist(
             self.fm, self.ctg_offsets, self.ctg_is_alt,
             jnp.asarray(seq), jnp.asarray(l_seq), self.opt,
-            seed_cap=self.seed_cap, chain_cap=self.chain_cap,
-            reg_cap=self.reg_cap)
-        return jax.tree.map(np.asarray, regs)
+            seed_cap=self.seed_cap, chain_cap=self.chain_cap)
+        return jax.tree.map(np.asarray, wr)
 
     def _device_global(self, q, qlen, t, tlen, w, w_max):
         B = q.shape[0]
@@ -127,31 +126,24 @@ class Aligner:
     # ------------------------------------------------ shared host phases
 
     def _regs_from_device(self, reads: list[Read]) -> list[list[fin.AlnReg]]:
-        """Device front half + the tail of mem_align1_core (dedup + is_alt,
-        bwamem.c:1083-1095).  Returns per-read reg lists, pre-mark_primary."""
+        """Device front half + flat speculative extension + the tail of
+        mem_align1_core (dedup + is_alt, bwamem.c:1083-1095).  Returns
+        per-read reg lists, pre-mark_primary."""
+        from bwamem_tpu.pipeline import extend_host
         n = len(reads)
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
-        d = self._device_regs(seq, l_seq)
-        out = []
+        wr = self._device_worklist(seq, l_seq)
+        out = extend_host.extend_regions(self.opt, self.pac, self.l_pac,
+                                         reads, seq, wr)
         for i in range(n):
-            ri = []
-            for k in range(int(d.n[i])):
-                ri.append(fin.AlnReg(
-                    rb=int(d.rb[i, k]), re=int(d.re[i, k]),
-                    qb=int(d.qb[i, k]), qe=int(d.qe[i, k]),
-                    rid=int(d.rid[i, k]), score=int(d.score[i, k]),
-                    truesc=int(d.truesc[i, k]), w=int(d.w[i, k]),
-                    seedcov=int(d.seedcov[i, k]),
-                    seedlen0=int(d.seedlen0[i, k]),
-                    frac_rep=float(d.frac_rep[i])))
             ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
-                                      reads[i].seq, ri)
+                                      reads[i].seq, out[i])
             for r in ri:
                 if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
                     r.is_alt = 1
-            out.append(ri)
+            out[i] = ri
         return out
 
     def _phaseA_gen_alt(self, regs, read, jobs):

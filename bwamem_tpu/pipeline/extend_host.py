@@ -1,0 +1,337 @@
+"""Flat speculative extension — the throughput path of mem_chain2aln.
+
+The reference walks each read's work list sequentially because the
+containment-skip test (bwamem.c:678-713) consults previously ACCEPTED
+alignment regions.  The key observation for TPU: an item's extension result
+does not depend on any other item — only its acceptance does.  So we:
+
+  1. pull the device-computed work list (exact mem_chain2aln order),
+  2. run ONE batched left-extension pass over every item (+ one compacted
+     band-doubling retry pass), then one batched right-extension pass
+     (h0 chains from the item's own left result),
+  3. replay the sequential skip/accept logic on host with the extension
+     results in hand — bit-identical to the reference, since a skipped
+     item's (discarded) extension costs only device FLOPs.
+
+This replaces the lockstep-rounds driver (ops/align_ext.extend_all, kept
+for the in-jit single-program path) whose wall-clock scaled with the WORST
+read's item count; here device work scales with the TOTAL item count and
+lanes are shape-bucketed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.finalize import AlnReg
+from bwamem_tpu.ops import extend as extops
+
+
+def _bucket(x: int, lo: int = 16) -> int:
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
+@functools.lru_cache(maxsize=8)
+def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
+                    e_ins: int, zdrop: int):
+    """Jitted flat extension kernel closing over a CONCRETE scoring matrix
+    (extend_batch derives Python constants from it)."""
+    mat = np.frombuffer(mat_bytes, np.int8).reshape(5, 5)
+
+    @functools.partial(jax.jit, static_argnames=("t_max",))
+    def fn(query, qlen, target, tlen, h0, w, end_bonus, *, t_max):
+        B = query.shape[0]
+        LT = target.shape[1]
+        rows = jnp.arange(B, dtype=jnp.int32)
+
+        def target_at(i):
+            return target[rows, jnp.clip(i, 0, LT - 1)].astype(jnp.int32)
+
+        return extops.extend_batch(query, qlen, target_at, tlen, h0, w,
+                                   end_bonus, mat, o_del=o_del, e_del=e_del,
+                                   o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
+                                   t_max=t_max)
+
+    return fn
+
+
+def ref_base_np(pac: np.ndarray, l_pac: int, pos: np.ndarray) -> np.ndarray:
+    """Vectorized both-strands base gather (bns_get_seq semantics)."""
+    is_rev = pos >= l_pac
+    fpos = np.where(is_rev, 2 * l_pac - 1 - pos, pos)
+    fpos = np.clip(fpos, 0, l_pac - 1)
+    b = (pac[fpos >> 2] >> (((~fpos) & 3) << 1).astype(np.uint8)) & 3
+    return np.where(is_rev, 3 - b, b).astype(np.uint8)
+
+
+def cal_max_gap(opt: MemOptions, qlen: int) -> int:
+    """cal_max_gap (bwamem.c:628-637), C truncation semantics."""
+    l_del = int((qlen * opt.a - opt.o_del) / opt.e_del + 1.)
+    l_ins = int((qlen * opt.a - opt.o_ins) / opt.e_ins + 1.)
+    l = max(l_del, l_ins, 1)
+    return min(l, opt.w << 1)
+
+
+class _ExtBatcher:
+    """Runs a set of extension lanes through the jitted kernel, bucketed by
+    (LQ, LT) shape class so one slow lane cannot stall thousands."""
+
+    def __init__(self, opt: MemOptions, mat, end_bonus: int):
+        self.opt = opt
+        self.mat = mat
+        self.end_bonus = end_bonus
+
+    def run(self, query, qlen, target, tlen, h0, w):
+        """All arrays [M, *]; returns dict of result arrays [M]."""
+        M = len(qlen)
+        out = {k: np.zeros(M, np.int32)
+               for k in ("score", "qle", "tle", "gtle", "gscore", "max_off")}
+        if M == 0:
+            return out
+        # size classes by target length (the while_loop row count)
+        classes = [64, 256, max(1024, _bucket(int(tlen.max()) if M else 1))]
+        assigned = np.zeros(M, bool)
+        for tcap in classes:
+            sel = (~assigned) & (tlen <= tcap)
+            assigned |= sel
+            idx = np.nonzero(sel)[0]
+            if idx.size == 0:
+                continue
+            B = _bucket(idx.size, lo=8)
+            LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
+            LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
+            q = np.full((B, LQ), 4, np.uint8)
+            t = np.full((B, LT), 4, np.uint8)
+            wq = min(LQ, query.shape[1])
+            wt = min(LT, target.shape[1])
+            q[: idx.size, :wq] = query[idx, :wq]
+            t[: idx.size, :wt] = target[idx, :wt]
+            ql = np.zeros(B, np.int32)
+            tl = np.zeros(B, np.int32)
+            h = np.ones(B, np.int32)
+            ww = np.full(B, self.opt.w, np.int32)
+            ql[: idx.size] = qlen[idx]
+            tl[: idx.size] = tlen[idx]
+            h[: idx.size] = h0[idx]
+            ww[: idx.size] = w[idx]
+            eb = jnp.full((B,), self.end_bonus, jnp.int32)
+            fn = _extend_flat_fn(
+                np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
+                self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                self.opt.zdrop)
+            res = fn(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
+                     jnp.asarray(tl), jnp.asarray(h), jnp.asarray(ww), eb,
+                     t_max=LT)
+            for k in out:
+                out[k][idx] = np.asarray(getattr(res, k))[: idx.size]
+        return out
+
+
+def _extend_side(opt, mat, end_bonus, query, qlen, target, tlen, h0):
+    """MAX_BAND_TRY band-doubling (bwamem.c:732-741): pass 1 at w, retry at
+    2w for lanes with max_off >= (w>>1)+(w>>2); returns results + aw."""
+    batcher = _ExtBatcher(opt, mat, end_bonus)
+    M = len(qlen)
+    w1 = np.full(M, opt.w, np.int32)
+    r1 = batcher.run(query, qlen, target, tlen, h0, w1)
+    retry = r1["max_off"] >= ((opt.w >> 1) + (opt.w >> 2))
+    retry &= qlen > 0
+    aw = np.where(retry, opt.w * 2, opt.w).astype(np.int32)
+    idx = np.nonzero(retry)[0]
+    if idx.size:
+        r2 = batcher.run(query[idx], qlen[idx], target[idx], tlen[idx],
+                         h0[idx], np.full(idx.size, opt.w * 2, np.int32))
+        for k in r1:
+            r1[k][idx] = r2[k]
+    return r1, aw
+
+
+def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
+                   reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
+    """reads: list[Read]; seq: packed [N, L] nt4; wr: WorklistResult (numpy).
+    Returns per-read AlnReg lists in mem_chain2aln emission order."""
+    n = len(reads)
+    mat = opt.mat
+
+    # ---- flatten work items ----
+    n_items = wr.wl_n
+    ii, kk = [], []
+    for i in range(n):
+        c = int(n_items[i])
+        if c:
+            ii.extend([i] * c)
+            kk.extend(range(c))
+    M = len(ii)
+    regs_out: list[list[AlnReg]] = [[] for _ in range(n)]
+    if M == 0:
+        return regs_out
+    ii = np.asarray(ii, np.int32)
+    kk = np.asarray(kk, np.int32)
+    slot = wr.wl_slot[ii, kk]
+    chn = wr.wl_chain[ii, kk]
+    s_qb = wr.seeds.qbeg[ii, slot].astype(np.int64)
+    s_len = wr.seeds.len[ii, slot].astype(np.int64)
+    s_rb = wr.seeds.rbeg[ii, slot].astype(np.int64)
+    rmax0 = wr.rmax0[ii, chn].astype(np.int64)
+    rmax1 = wr.rmax1[ii, chn].astype(np.int64)
+    rid = wr.chain_rid[ii, chn]
+    l_seq = np.asarray([reads[i].l_seq for i in range(n)], np.int64)[ii]
+
+    # ---- left extension lanes (reversed prefixes) ----
+    lql = s_qb.astype(np.int32)
+    ltl = np.where(s_qb > 0, s_rb - rmax0, 0).astype(np.int32)
+    LQ = max(int(lql.max()), 1)
+    LT = max(int(ltl.max()), 1)
+    colq = np.arange(LQ, dtype=np.int64)[None, :]
+    colt = np.arange(LT, dtype=np.int64)[None, :]
+    qidx = s_qb[:, None] - 1 - colq
+    lquery = np.where(
+        qidx >= 0,
+        seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)], 4
+    ).astype(np.uint8)
+    lt_pos = s_rb[:, None] - 1 - colt
+    ltarget = np.where(colt < ltl[:, None],
+                       ref_base_np(pac, l_pac, lt_pos), 4).astype(np.uint8)
+    h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
+    L, aw0 = _extend_side(opt, mat, opt.pen_clip5, lquery, lql, ltarget,
+                          ltl, h0)
+
+    has_left = s_qb > 0
+    loc_l = (L["gscore"] <= 0) | (L["gscore"] <= L["score"] - opt.pen_clip5)
+    score_l = np.where(has_left, L["score"], (s_len * opt.a)).astype(np.int64)
+    n_qb = np.where(has_left, np.where(loc_l, s_qb - L["qle"], 0), 0)
+    n_rb = np.where(has_left,
+                    np.where(loc_l, s_rb - L["tle"], s_rb - L["gtle"]),
+                    s_rb)
+    truesc_l = np.where(has_left,
+                        np.where(loc_l, L["score"], L["gscore"]),
+                        s_len * opt.a).astype(np.int64)
+    aw0 = np.where(has_left, aw0, opt.w)
+
+    # ---- right extension lanes ----
+    s_qe = s_qb + s_len
+    rql = (l_seq - s_qe).astype(np.int32)
+    rtl = np.where(s_qe < l_seq, rmax1 - (s_rb + s_len), 0).astype(np.int32)
+    LQr = max(int(rql.max()), 1)
+    LTr = max(int(rtl.max()), 1)
+    colq = np.arange(LQr, dtype=np.int64)[None, :]
+    colt = np.arange(LTr, dtype=np.int64)[None, :]
+    qidx = s_qe[:, None] + colq
+    rquery = np.where(qidx < l_seq[:, None],
+                      seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)],
+                      4).astype(np.uint8)
+    rt_pos = s_rb[:, None] + s_len[:, None] + colt
+    rtarget = np.where(colt < rtl[:, None],
+                       ref_base_np(pac, l_pac, np.clip(rt_pos, 0,
+                                                       2 * l_pac - 1)),
+                       4).astype(np.uint8)
+    sc0 = np.maximum(score_l, 1).astype(np.int32)
+    R, aw1 = _extend_side(opt, mat, opt.pen_clip3, rquery, rql, rtarget,
+                          rtl, sc0)
+
+    has_right = s_qe < l_seq
+    loc_r = (R["gscore"] <= 0) | (R["gscore"] <= R["score"] - opt.pen_clip3)
+    score_f = np.where(has_right, R["score"], score_l).astype(np.int64)
+    n_qe = np.where(has_right,
+                    np.where(loc_r, s_qe + R["qle"], l_seq), l_seq)
+    n_re = np.where(has_right,
+                    np.where(loc_r, s_rb + s_len + R["tle"],
+                             s_rb + s_len + R["gtle"]),
+                    s_rb + s_len)
+    truesc_f = truesc_l + np.where(
+        has_right, np.where(loc_r, R["score"] - sc0, R["gscore"] - sc0), 0)
+    aw1 = np.where(has_right, aw1, opt.w)
+    n_w = np.maximum(aw0, aw1)
+
+    # ---- sequential replay (skip/accept, bwamem.c:674-713) ----
+    item_of = {}
+    for m in range(M):
+        item_of[(int(ii[m]), int(kk[m]))] = m
+
+    for i in range(n):
+        c = int(n_items[i])
+        if c == 0:
+            continue
+        lq = reads[i].l_seq
+        sd_qb = wr.seeds.qbeg[i].astype(np.int64)
+        sd_rb = wr.seeds.rbeg[i].astype(np.int64)
+        sd_len = wr.seeds.len[i].astype(np.int64)
+        # per-chain srt bookkeeping: worklist items of one chain appear in
+        # srt-descending order; exception scan looks at EARLIER (longer)
+        # items of the same chain whose mark is still set
+        marks = {}           # work index -> alive (srt[k] != 0)
+        chain_items = {}     # chain -> [work indices in order]
+        for k in range(c):
+            ch = int(wr.wl_chain[i, k])
+            chain_items.setdefault(ch, []).append(k)
+            marks[k] = True
+        regs = regs_out[i]
+        frac_rep = float(wr.seeds.frac_rep[i]) / max(lq, 1)
+        for k in range(c):
+            m = item_of[(i, k)]
+            srb, sqb, slen = int(s_rb[m]), int(s_qb[m]), int(s_len[m])
+            hit = -1
+            for p in regs:
+                if srb < p.rb or srb + slen > p.re or sqb < p.qb or \
+                        sqb + slen > p.qe:
+                    continue
+                if slen - p.seedlen0 > .1 * lq:
+                    continue
+                qd, rd = sqb - p.qb, srb - p.rb
+                w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+                if qd - rd < w and rd - qd < w:
+                    hit = 1
+                    break
+                qd, rd = p.qe - (sqb + slen), p.re - (srb + slen)
+                w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+                if qd - rd < w and rd - qd < w:
+                    hit = 1
+                    break
+            if hit >= 0:
+                # overlapping-seed exception (bwamem.c:699-711)
+                mates = chain_items[int(wr.wl_chain[i, k])]
+                pos = mates.index(k)
+                differs = False
+                for k2 in mates[:pos][::-1]:   # earlier = longer, srt asc
+                    if not marks[k2]:
+                        continue
+                    m2 = item_of[(i, k2)]
+                    tq, tr, tl_ = int(s_qb[m2]), int(s_rb[m2]), \
+                        int(s_len[m2])
+                    if tl_ < slen * .95:
+                        continue
+                    if sqb <= tq and sqb + slen - tq >= slen >> 2 and \
+                            tq - sqb != tr - srb:
+                        differs = True
+                        break
+                    if tq <= sqb and tq + tl_ - sqb >= slen >> 2 and \
+                            sqb - tq != srb - tr:
+                        differs = True
+                        break
+                if not differs:
+                    marks[k] = False
+                    continue
+            r = AlnReg()
+            r.rid = int(rid[m])
+            r.qb, r.rb = int(n_qb[m]), int(n_rb[m])
+            r.qe, r.re = int(n_qe[m]), int(n_re[m])
+            r.score = int(score_f[m])
+            r.truesc = int(truesc_f[m])
+            r.w = int(n_w[m])
+            r.seedlen0 = slen
+            r.frac_rep = frac_rep
+            # seedcov over the whole chain (bwamem.c:781-786)
+            in_ch = wr.seeds.valid[i] & \
+                (wr.seed_chain[i] == wr.wl_chain[i, k])
+            cov = ((sd_qb >= r.qb) & (sd_qb + sd_len <= r.qe)
+                   & (sd_rb >= r.rb) & (sd_rb + sd_len <= r.re) & in_ch)
+            r.seedcov = int(sd_len[cov].sum())
+            regs.append(r)
+    return regs_out

@@ -116,3 +116,66 @@ def seed_and_chain_opts(fm, ctg_offsets, ctg_is_alt, seq, l_seq,
         mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
         min_chain_weight=opt.min_chain_weight,
         max_chain_extend=opt.max_chain_extend, **caps)
+
+
+class WorklistResult(NamedTuple):
+    seeds: "chainops.Seeds"
+    seed_chain: jax.Array   # [N, S] chain of each seed slot (-1 none)
+    wl_slot: jax.Array      # [N, S] work order → seed slot
+    wl_chain: jax.Array     # [N, S] chain per work item (-1 none)
+    wl_n: jax.Array         # [N]
+    rmax0: jax.Array        # [N, C]
+    rmax1: jax.Array        # [N, C]
+    chain_rid: jax.Array    # [N, C]
+    overflow: jax.Array     # [N]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_seed_len", "split_len", "split_width",
+                     "max_mem_intv", "max_occ", "w", "max_chain_gap",
+                     "mask_level", "drop_ratio", "min_chain_weight",
+                     "max_chain_extend", "seed_cap", "chain_cap", "caps",
+                     "a", "o_del", "e_del", "o_ins", "e_ins"))
+def seed_chain_worklist_jit(fm, ctg_offsets, ctg_is_alt, seq, l_seq, *,
+                            min_seed_len, split_len, split_width,
+                            max_mem_intv, max_occ, w, max_chain_gap,
+                            mask_level, drop_ratio, min_chain_weight,
+                            max_chain_extend, a, o_del, e_del, o_ins,
+                            e_ins, seed_cap=256, chain_cap=64,
+                            caps=smemops.SeedingCaps()) -> WorklistResult:
+    """Device front half WITHOUT extension: everything the host-side flat
+    extension driver (pipeline.align) needs — the exact work order of
+    mem_chain2aln, per-chain reference windows, and the seed tables."""
+    from bwamem_tpu.ops import align_ext
+    res = seed_and_chain(
+        fm, ctg_offsets, ctg_is_alt, seq, l_seq,
+        min_seed_len=min_seed_len, split_len=split_len,
+        split_width=split_width, max_mem_intv=max_mem_intv, max_occ=max_occ,
+        w=w, max_chain_gap=max_chain_gap, mask_level=mask_level,
+        drop_ratio=drop_ratio, min_chain_weight=min_chain_weight,
+        max_chain_extend=max_chain_extend, seed_cap=seed_cap,
+        chain_cap=chain_cap, caps=caps)
+    wl = align_ext.build_worklist(res.seeds, res.chains, res.filtered)
+    rmax0, rmax1 = align_ext.chain_rmax(
+        res.seeds, res.chains, l_seq, fm, ctg_offsets,
+        a=a, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, w=w)
+    overflow = (res.intervals.overflow | res.seeds.overflow
+                | res.chains.overflow)
+    return WorklistResult(seeds=res.seeds, seed_chain=res.chains.seed_chain,
+                          wl_slot=wl.seed_slot, wl_chain=wl.chain,
+                          wl_n=wl.n, rmax0=rmax0, rmax1=rmax1,
+                          chain_rid=res.chains.rid, overflow=overflow)
+
+
+def seed_chain_worklist(fm, ctg_offsets, ctg_is_alt, seq, l_seq,
+                        opt: MemOptions, **caps) -> WorklistResult:
+    return seed_chain_worklist_jit(
+        fm, ctg_offsets, ctg_is_alt, seq, l_seq,
+        min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+        split_width=opt.split_width, max_mem_intv=opt.max_mem_intv,
+        max_occ=opt.max_occ, w=opt.w, max_chain_gap=opt.max_chain_gap,
+        mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
+        min_chain_weight=opt.min_chain_weight,
+        max_chain_extend=opt.max_chain_extend, a=opt.a, o_del=opt.o_del,
+        e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins, **caps)
