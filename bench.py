@@ -31,7 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 GENOME = 5_000_000
 N_READS = 20_000
 READ_LEN = 101
-BATCH = 4096
+BATCH = 10000
 
 
 def ensure_data():

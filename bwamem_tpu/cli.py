@@ -273,16 +273,152 @@ def cmd_index(argv: list[str]) -> int:
     return 0
 
 
+def cmd_fastmap(argv: list[str]) -> int:
+    """SMEM dump — output format of `bwa fastmap` (fastmap.c:324-399):
+    SQ/EM lines, per-pivot SMEMs sorted by start, reference coordinates for
+    intervals of size <= -w."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    min_iwidth, min_len, min_intv, print_seq = 20, 17, 1, False
+    try:
+        opts, args = getopt_mod.getopt(argv, "w:l:pi:I:L:")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::fastmap] {e}")
+    for c, v in opts:
+        if c == "-w":
+            min_iwidth = int(v)
+        elif c == "-l":
+            min_len = int(v)
+        elif c == "-p":
+            print_seq = True
+        elif c == "-i":
+            min_intv = int(v)
+        elif c in ("-I", "-L"):
+            sys.stderr.write(f"[W::fastmap] {c} not supported yet\n")
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwamem_tpu fastmap [options] "
+                         "<idxbase> <in.fq>\n")
+        return 1
+    from bwamem_tpu.index import BwaIndex
+    from bwamem_tpu.io.fastq import read_fastx, batches, pack_batch
+    from bwamem_tpu.ops import fm as fmops
+    from bwamem_tpu.ops import smem as smemops
+    from bwamem_tpu.pipeline import seeding_host as sh
+
+    idx = BwaIndex.load(args[0])
+    fm = fmops.to_device(fmops.fm_from_index(idx))
+    it = np.asarray(fm.L2).dtype
+    offs = idx.contig_offsets()
+    names = [c.name for c in idx.contigs]
+    l_pac = int(idx.l_pac)
+
+    for batch in batches(read_fastx(args[1]), 4096):
+        n = len(batch)
+        N = sh._bucket(n, lo=8)
+        L = sh._bucket(max(r.l_seq for r in batch), lo=32)
+        seq, l_seq = pack_batch(batch, N, L)
+        caps = smemops.SeedingCaps(cand1=2 * L)
+        c1 = sh._fwd_scan_jit(fm, jnp.asarray(seq), jnp.asarray(l_seq),
+                              jnp.zeros((N,), np.int32),
+                              jnp.full((N,), min_intv, it),
+                              cap=caps.cand1, multi_pivot=True)
+        c1 = jax.tree.map(np.asarray, c1)
+        cnt = c1.n[:n]
+        rows, slots = np.nonzero(np.arange(caps.cand1)[None, :]
+                                 < cnt[:, None])
+        M = rows.size
+        s = np.zeros((n, caps.cand1), np.int32)
+        x0a = np.zeros((n, caps.cand1), it)
+        x2a = np.zeros((n, caps.cand1), it)
+        if M:
+            Mp = sh._bucket(M, lo=256)
+            lr = np.zeros(Mp, np.int32)
+            pv = np.zeros(Mp, np.int32)
+            bx = [np.zeros(Mp, it) for _ in range(3)]
+            mi = np.full(Mp, min_intv, it)
+            va = np.zeros(Mp, bool)
+            lr[:M] = rows
+            pv[:M] = c1.pivot[rows, slots]
+            bx[0][:M] = c1.x0[rows, slots]
+            bx[1][:M] = c1.x1[rows, slots]
+            bx[2][:M] = c1.x2[rows, slots]
+            va[:M] = True
+            sf, x0f, x2f = (np.asarray(x)[:M] for x in sh._back_flat_jit(
+                fm, jnp.asarray(seq), jnp.asarray(lr), jnp.asarray(pv),
+                jnp.asarray(bx[0]), jnp.asarray(bx[1]), jnp.asarray(bx[2]),
+                jnp.asarray(mi), jnp.asarray(va)))
+            s[rows, slots] = sf
+            x0a[rows, slots] = x0f
+            x2a[rows, slots] = x2f
+        emit = sh._emit_np(c1.pivot[:n], s, c1.end[:n], cnt, caps.cand1)
+        emit &= (c1.end[:n] - s) >= min_len
+        # SA positions for hits of small intervals
+        er, ec = np.nonzero(emit & (x2a <= min_iwidth) & (x2a > 0))
+        hit_ranks, hit_owner = [], []
+        for hi in range(er.size):
+            x0v, x2v = int(x0a[er[hi], ec[hi]]), int(x2a[er[hi], ec[hi]])
+            hit_ranks.extend(range(x0v, x0v + x2v))
+            hit_owner.extend([hi] * x2v)
+        pos_of = {}
+        if hit_ranks:
+            H = len(hit_ranks)
+            Hp = sh._bucket(H, lo=256)
+            rk = np.zeros(Hp, it)
+            rk[:H] = hit_ranks
+            sa = np.asarray(sh._sa_lookup_jit(fm, jnp.asarray(rk)))[:H]
+            for hi, p in zip(hit_owner, sa):
+                pos_of.setdefault(hi, []).append(int(p))
+        hit_idx = {(int(er[i]), int(ec[i])): i for i in range(er.size)}
+        for i in range(n):
+            r = batch[i]
+            sq = "".join("ACGTN"[b] for b in r.seq)
+            extra = f"\t{sq}" if print_seq else ""
+            sys.stdout.write(f"SQ\t{r.name}\t{r.l_seq}{extra}\n")
+            # per-pivot groups, slots reversed → start ascending
+            k = 0
+            while k < cnt[i]:
+                j = k
+                while j < cnt[i] and c1.pivot[i, j] == c1.pivot[i, k]:
+                    j += 1
+                for slot in range(j - 1, k - 1, -1):
+                    if not emit[i, slot]:
+                        continue
+                    st, en = int(s[i, slot]), int(c1.end[i, slot])
+                    x2v = int(x2a[i, slot])
+                    line = [f"EM\t{st}\t{en}\t{x2v}"]
+                    if (i, slot) in hit_idx and x2v <= min_iwidth:
+                        ln = en - st
+                        for p in pos_of.get(hit_idx[(i, slot)], []):
+                            is_rev = p >= l_pac
+                            pf = 2 * l_pac - 1 - p if is_rev else p
+                            if is_rev:
+                                pf -= ln - 1
+                            rid = int(np.searchsorted(offs, pf,
+                                                      side="right") - 1)
+                            line.append(f"\t{names[rid]}:"
+                                        f"{'+-'[is_rev]}"
+                                        f"{pf - offs[rid] + 1}")
+                    else:
+                        line.append("\t*")
+                    sys.stdout.write("".join(line) + "\n")
+                k = j
+            sys.stdout.write("//\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        sys.stderr.write("Usage: bwamem_tpu <mem|index> [options]\n")
+        sys.stderr.write("Usage: bwamem_tpu <mem|index|fastmap> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
         return cmd_mem(rest)
     if cmd == "index":
         return cmd_index(rest)
+    if cmd == "fastmap":
+        return cmd_fastmap(rest)
     sys.stderr.write(f"[E::main] unknown command '{cmd}'\n")
     return 1
 

@@ -42,7 +42,7 @@ def expand_seeds(fm: fmops.FM, ctg_offsets: jax.Array, iv: Intervals,
     min(x2, max_occ) occurrences with stride floor(x2/max_occ).
     """
     N, I = iv.start.shape
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     counts = jnp.where(iv.valid, jnp.minimum(iv.x2, max_occ), 0)
     cum = jnp.cumsum(counts, axis=1)                      # [N, I]
     total = cum[:, -1]

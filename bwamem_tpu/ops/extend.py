@@ -82,6 +82,9 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
 
     qpad = jnp.where(jj[:, :LQ] < qlen[:, None], query.astype(i32), 4)
     matf = jnp.asarray(np.asarray(mat).astype(np.int32).reshape(-1))
+    # score-profile rows, precomputed per target symbol so the row loop
+    # does a 5-way select instead of a per-row gather
+    prof = jnp.stack([matf[c * 5 + qpad] for c in range(5)], axis=1)
 
     # decay offsets for the F prefix-max trick
     ramp = (jj[:, :LQ] * e_ins).astype(i32)           # e*j per column
@@ -100,8 +103,10 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         beg = jnp.maximum(st["beg"], i - w)
         end = jnp.minimum(jnp.minimum(st["end"], i + w + 1), qlen.astype(i32))
 
-        tb = target_at(jnp.clip(jnp.minimum(i, tlen - 1), 0, None))  # [B]
-        q = matf[tb[:, None] * 5 + qpad]               # [B, LQ] profile row
+        tb = target_at(i)                              # [B], garbage when
+        # i >= tlen is fine: those lanes are done-masked below
+        q = sum(jnp.where(tb[:, None] == c, prof[:, c], 0) for c in range(4))
+        q = q + jnp.where(tb[:, None] >= 4, prof[:, 4], 0)
 
         col = jj[:, :LQ]                               # [B?, LQ] broadcast
         win = (col >= beg[:, None]) & (col < end[:, None])

@@ -36,13 +36,23 @@ OCC_INTERVAL = 128
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["bwt", "occ", "L2", "sa", "primary",
+                   data_fields=["cmb", "L2", "sa", "primary",
                                 "seq_len", "l_pac", "pac"],
-                   meta_fields=["sa_intv"])
+                   meta_fields=["sa_intv", "i64"])
 @dataclasses.dataclass(frozen=True)
 class FM:
-    bwt: jax.Array       # uint32 [nb, 8]
-    occ: jax.Array       # it [nb+1, 4]
+    """Device FM-index.
+
+    cmb packs the occ checkpoint row AND the 128-base BWT block into ONE
+    row so every occ query is a single HBM gather — the same cache-line
+    interleaving idea as the reference's on-disk layout (bwt.h:74-82,
+    bwt_bwtupdate_core), re-derived for the TPU where the per-gather-op
+    cost dominates.  Layout per row (all uint32):
+      words 0-3   occ counts of A/C/G/T in B[0 : 128*b)  (low 32 bits)
+      words 4-11  the 2-bit-packed BWT block
+      words 12-15 (i64 indexes only) high 32 bits of the occ counts
+    """
+    cmb: jax.Array       # uint32 [nb, 12] (or [nb, 16] when i64)
     L2: jax.Array        # it [5]
     sa: jax.Array        # it [n_sa]
     primary: jax.Array   # it []
@@ -50,21 +60,28 @@ class FM:
     l_pac: jax.Array     # it []
     pac: jax.Array       # uint32 [ceil(l_pac/16)] packed forward 2-bit ref
     sa_intv: int = 32    # static (power of two)
+    i64: bool = False    # static: 64-bit occ counts (genomes >= 2^31)
 
 
 def fm_from_index(idx) -> FM:
     """Host BwaIndex → device-ready FM pytree (numpy; jax.device_put by
     caller with the desired sharding)."""
     it = idx.itype
+    i64 = it == np.int64
     nb = (idx.seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
-    words = np.zeros(nb * 8, dtype=np.uint32)
-    words[: len(idx.bwt_words)] = idx.bwt_words
+    words = np.zeros((nb, 8), dtype=np.uint32)
+    flat = idx.bwt_words
+    words.reshape(-1)[: len(flat)] = flat
+    occ = idx.occ[:nb].astype(np.uint64)
+    cols = [occ.astype(np.uint32), words.view(np.uint32)]
+    if i64:
+        cols.append((occ >> 32).astype(np.uint32))
+    cmb = np.concatenate(cols, axis=1)
     pac_bytes = np.concatenate(
         [idx.pac, np.zeros((-len(idx.pac)) % 4, dtype=np.uint8)])
     pac_words = pac_bytes.view(np.uint32)
     return FM(
-        bwt=words.reshape(nb, 8),
-        occ=idx.occ.astype(it),
+        cmb=cmb,
         L2=idx.L2.astype(it),
         sa=idx.sa_samples.astype(it),
         primary=np.asarray(idx.primary, dtype=it),
@@ -72,6 +89,7 @@ def fm_from_index(idx) -> FM:
         l_pac=np.asarray(idx.l_pac, dtype=it),
         pac=pac_words,
         sa_intv=idx.sa_intv,
+        i64=i64,
     )
 
 
@@ -107,15 +125,38 @@ def _block_counts(words: jax.Array, m: jax.Array, it) -> jax.Array:
     return jnp.stack(outs, axis=-1)
 
 
+def _row(fm: FM, blk: jax.Array):
+    """ONE combined-row gather → (occ_base it [...,4], bwt words [...,8])."""
+    it = fm.L2.dtype
+    row = fm.cmb[blk]
+    if fm.i64:
+        base = (row[..., 12:16].astype(jnp.int64) << 32) | \
+            row[..., :4].astype(jnp.int64)
+        base = base.astype(it)
+    else:
+        base = row[..., :4].astype(it)
+    return base, row[..., 4:12]
+
+
+def _select4(vals4: jax.Array, c: jax.Array) -> jax.Array:
+    """vals4[..., c] without a gather (masked reduce over 4 lanes)."""
+    sel = jnp.arange(4, dtype=jnp.int32) == c[..., None]
+    return jnp.where(sel, vals4, 0).sum(-1, dtype=vals4.dtype)
+
+
+def _select8(vals8: jax.Array, c: jax.Array) -> jax.Array:
+    sel = jnp.arange(8, dtype=jnp.int32) == c[..., None]
+    return jnp.where(sel, vals8, 0).sum(-1, dtype=vals8.dtype)
+
+
 def occ4(fm: FM, k: jax.Array) -> jax.Array:
     """Counts of each base in B[0..k] inclusive; k == -1 → 0.  [..., 4]."""
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     valid = k >= 0
     kk = k - (k >= fm.primary).astype(k.dtype)
     kk = jnp.clip(kk, 0, fm.seq_len - 1)
     blk = (kk >> OCC_INTV_SHIFT).astype(jnp.int32)
-    base = fm.occ[blk]
-    words = fm.bwt[blk]
+    base, words = _row(fm, blk)
     m = (kk & (OCC_INTERVAL - 1)).astype(jnp.int32) + 1
     out = base + _block_counts(words, m, it)
     return jnp.where(valid[..., None], out, jnp.zeros_like(out))
@@ -128,7 +169,7 @@ def extend(fm: FM, x0, x1, x2, is_back: bool):
     Returns (n0, n1, ns) each [..., 4] indexed by symbol c; the caller picks
     c = base for backward extension or c = 3 - base for forward extension.
     """
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     p = x0 if is_back else x1
     other = x1 if is_back else x0
     tk = occ4(fm, p - 1)
@@ -147,30 +188,53 @@ def extend(fm: FM, x0, x1, x2, is_back: bool):
 
 
 def set_intv(fm: FM, c: jax.Array):
-    """Initial single-base interval (bwt_set_intv, bwt.h:82).  c in [0,3]."""
-    it = fm.occ.dtype
+    """Initial single-base interval (bwt_set_intv, bwt.h:82).  c in [0,3].
+    L2 lookups as masked reduces (no gather for a 5-entry table)."""
+    it = fm.L2.dtype
     ci = c.astype(jnp.int32)
-    x0 = fm.L2[ci] + 1
-    x2 = fm.L2[ci + 1] - fm.L2[ci]
-    x1 = fm.L2[3 - ci] + 1
+    lane = jnp.arange(5, dtype=jnp.int32)
+    L2 = fm.L2
+
+    def at(idx):
+        return jnp.where(lane == idx[..., None], L2, 0).sum(-1,
+                                                            dtype=L2.dtype)
+
+    l2c = at(ci)
+    x0 = l2c + 1
+    x2 = at(ci + 1) - l2c
+    x1 = at(3 - ci) + 1
     return x0.astype(it), x1.astype(it), x2.astype(it)
 
 
 def bwt_b0(fm: FM, x: jax.Array) -> jax.Array:
     """Character of the $-removed BWT at position x (bwt_B0, bwt.h:80)."""
     blk = (x >> OCC_INTV_SHIFT).astype(jnp.int32)
+    _, words = _row(fm, blk)
     wi = ((x >> 4) & 7).astype(jnp.int32)
-    word = fm.bwt[blk, wi]
+    word = _select8(words, wi)
     sh = (((~x) & 15) << 1).astype(jnp.uint32)
     return ((word >> sh) & 3).astype(jnp.int32)
 
 
 def inv_psi(fm: FM, k: jax.Array) -> jax.Array:
-    """Inverse-Psi step (bwt_invPsi, bwt.c:53-59)."""
-    x = k - (k > fm.primary).astype(k.dtype)
-    c = bwt_b0(fm, x)
-    o = jnp.take_along_axis(occ4(fm, k), c[..., None], axis=-1)[..., 0]
-    res = fm.L2[c] + o
+    """Inverse-Psi step (bwt_invPsi, bwt.c:53-59): ONE combined-row gather
+    serves both the BWT character and its occ count."""
+    it = fm.L2.dtype
+    kk = k - (k >= fm.primary).astype(k.dtype)
+    kk = jnp.clip(kk, 0, fm.seq_len - 1)
+    blk = (kk >> OCC_INTV_SHIFT).astype(jnp.int32)
+    base, words = _row(fm, blk)
+    wi = ((kk >> 4) & 7).astype(jnp.int32)
+    word = _select8(words, wi)
+    sh = (((~kk) & 15) << 1).astype(jnp.uint32)
+    c = ((word >> sh) & 3).astype(jnp.int32)
+    m = (kk & (OCC_INTERVAL - 1)).astype(jnp.int32) + 1
+    cnt4 = base + _block_counts(words, m, it)
+    o = _select4(cnt4, c)
+    lane = jnp.arange(4, dtype=jnp.int32)
+    l2c = jnp.where(lane == c[..., None], fm.L2[:4], 0).sum(
+        -1, dtype=fm.L2.dtype)
+    res = l2c + o
     return jnp.where(k == fm.primary, jnp.zeros_like(res), res).astype(k.dtype)
 
 

@@ -68,6 +68,7 @@ def global_align_batch(query: jax.Array, qlen: jax.Array,
     col = jj[:, :LQ]
     qpad = jnp.where(col < qlen[:, None], query.astype(i32), 4)
     matf = jnp.reshape(jnp.asarray(mat).astype(i32), (-1,))
+    prof = jnp.stack([matf[c * 5 + qpad] for c in range(5)], axis=1)
 
     # first row (ksw.c:520-524): eh[j].h = -(o_ins+e_ins*j) for 1<=j<=w
     Hp = jnp.where(jj == 0, 0,
@@ -86,7 +87,9 @@ def global_align_batch(query: jax.Array, qlen: jax.Array,
         end = jnp.minimum(i + w + 1, qlen)
         tb = jax.lax.dynamic_index_in_dim(target, jnp.minimum(i, LT - 1),
                                           axis=1, keepdims=False)
-        q = matf[tb.astype(i32)[:, None] * 5 + qpad]          # [B, LQ]
+        tbi = tb.astype(i32)[:, None]
+        q = sum(jnp.where(tbi == c, prof[:, c], 0) for c in range(4)) \
+            + jnp.where(tbi >= 4, prof[:, 4], 0)              # [B, LQ]
         win = (col >= beg[:, None]) & (col < end[:, None])
 
         m = Hp[:, :LQ] + q

@@ -62,6 +62,8 @@ def _pass(query, qlen, qpadlen, target, tlen, endsc, matf, o_del, e_del,
     inp = col < qpadlen[:, None]
     ramp = e_ins * col
     NEG = -0x40000000
+    prof = jnp.stack([jnp.where(inq, matf[c * 5 + qpad], 0)
+                      for c in range(5)], axis=1)
 
     state = dict(
         Hp=jnp.zeros((B, LQ), i32), E=jnp.zeros((B, LQ), i32),
@@ -75,7 +77,9 @@ def _pass(query, qlen, qpadlen, target, tlen, endsc, matf, o_del, e_del,
         act = (~st["done"]) & (i < tlen)
         tb = jax.lax.dynamic_index_in_dim(target, jnp.minimum(i, LT - 1),
                                           axis=1, keepdims=False)
-        S = jnp.where(inq, matf[tb.astype(i32)[:, None] * 5 + qpad], 0)
+        tbi = tb.astype(i32)[:, None]
+        S = sum(jnp.where(tbi == c, prof[:, c], 0) for c in range(4)) \
+            + jnp.where(tbi >= 4, prof[:, 4], 0)
         Hp_sh = jnp.concatenate(
             [jnp.zeros((B, 1), i32), st["Hp"][:, :-1]], axis=1)
         M = jnp.maximum(Hp_sh + S, 0)

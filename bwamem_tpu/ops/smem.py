@@ -77,7 +77,7 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     of the longest match (the value bwt_smem1a returns).
     """
     N, L = seq.shape
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     rows = jnp.arange(N, dtype=jnp.int32)
 
     def seq_at(pos):
@@ -130,10 +130,10 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         amb = ext & (i < l_seq) & (qi >= 4)
         do_ext = ext & (i < l_seq) & (qi < 4)
         n0, n1, ns = fmops.extend(fm, ik0, ik1, ik2, is_back=False)
-        c = jnp.clip(3 - qi, 0, 3)[:, None]
-        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
-        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
-        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        c = jnp.clip(3 - qi, 0, 3)
+        e0 = fmops._select4(n0, c)
+        e1 = fmops._select4(n1, c)
+        e2 = fmops._select4(ns, c)
         size_change = do_ext & (e2 != ik2)
         too_small = size_change & (e2 < st_min_intv)
         push = at_end | amb | size_change
@@ -183,17 +183,20 @@ def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     Returns (s, x0, x2) flattened [N*C]: the final interval of [s, end).
     """
     N, C = cand.x0.shape
-    lane_read = read_of_lane.reshape(-1)            # [N*C] row in seq
     valid = (jnp.arange(C, dtype=jnp.int32)[None, :] < cand.n[:, None])
-    valid = valid.reshape(-1)
+    s, x0, x2 = back_extend_flat(
+        fm, seq, read_of_lane.reshape(-1), cand.pivot.reshape(-1),
+        cand.x0.reshape(-1), cand.x1.reshape(-1), cand.x2.reshape(-1),
+        min_intv.reshape(-1), valid.reshape(-1))
+    return s, x0, x2, valid.reshape(-1)
+
+
+def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
+                     pivot: jax.Array, x0, x1, x2, min_intv, valid):
+    """Compact-lane backward extension: lanes [M] each carrying (read row,
+    pivot, interval, min size).  Returns (s, x0, x2)."""
     L = seq.shape[1]
-
-    x0 = cand.x0.reshape(-1)
-    x1 = cand.x1.reshape(-1)
-    x2 = cand.x2.reshape(-1)
-    pivot = cand.pivot.reshape(-1)
-    mi = min_intv.reshape(-1).astype(fm.occ.dtype)
-
+    mi = min_intv.astype(fm.L2.dtype)
     i = pivot - 1
     alive = valid
     s = pivot.astype(jnp.int32)
@@ -209,10 +212,10 @@ def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         alive, i, s, x0, x1, x2 = st
         qi = seq_at(i)
         n0, n1, ns = fmops.extend(fm, x0, x1, x2, is_back=True)
-        c = jnp.clip(qi, 0, 3)[:, None]
-        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
-        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
-        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        c = jnp.clip(qi, 0, 3)
+        e0 = fmops._select4(n0, c)
+        e1 = fmops._select4(n1, c)
+        e2 = fmops._select4(ns, c)
         ok = alive & (i >= 0) & (qi < 4) & (e2 >= mi)
         die = alive & ~ok
         s = jnp.where(die, i + 1, s)
@@ -224,7 +227,7 @@ def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
 
     alive, i, s, x0, x1, x2 = jax.lax.while_loop(
         cond, body, (alive, i, s, x0, x1, x2))
-    return s, x0, x2, valid
+    return s, x0, x2
 
 
 def emit_mask(cand: Candidates, s: jax.Array) -> jax.Array:
@@ -252,7 +255,7 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     emit the extended interval the first time its size drops below max_intv
     at length > min_len; restart at i+1."""
     N, L = seq.shape
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     rows = jnp.arange(N, dtype=jnp.int32)
     mi = jnp.asarray(max_intv, it)
 
@@ -298,10 +301,10 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         amb = ext & (i < l_seq) & (qi >= 4)    # return i+1, no emit
         do_ext = ext & (i < l_seq) & (qi < 4)
         n0, n1, ns = fmops.extend(fm, ik0, ik1, ik2, is_back=False)
-        c = jnp.clip(3 - qi, 0, 3)[:, None]
-        e0 = jnp.take_along_axis(n0, c, axis=1)[:, 0]
-        e1 = jnp.take_along_axis(n1, c, axis=1)[:, 0]
-        e2 = jnp.take_along_axis(ns, c, axis=1)[:, 0]
+        c = jnp.clip(3 - qi, 0, 3)
+        e0 = fmops._select4(n0, c)
+        e1 = fmops._select4(n1, c)
+        e2 = fmops._select4(ns, c)
         hit = do_ext & (e2 < mi) & ((i - x) >= min_len)
         emit = hit & (e2 > 0)
 
@@ -349,7 +352,7 @@ def collect_intervals(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                       caps: SeedingCaps = SeedingCaps()) -> Intervals:
     """Full 3-pass mem_collect_intv (bwamem.c:137-185)."""
     N, L = seq.shape
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     one = jnp.ones((N,), it)
 
     # ---- pass 1 ----

@@ -126,17 +126,23 @@ class Aligner:
     # ------------------------------------------------ shared host phases
 
     def _regs_from_device(self, reads: list[Read]) -> list[list[fin.AlnReg]]:
-        """Device front half + flat speculative extension + the tail of
-        mem_align1_core (dedup + is_alt, bwamem.c:1083-1095).  Returns
-        per-read reg lists, pre-mark_primary."""
-        from bwamem_tpu.pipeline import extend_host
+        """Device front half (compact seeding + grouped chaining) + flat
+        speculative extension + the tail of mem_align1_core (dedup +
+        is_alt, bwamem.c:1083-1095).  Returns per-read reg lists,
+        pre-mark_primary."""
+        from bwamem_tpu.pipeline import extend_host, seeding_host
         n = len(reads)
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
-        wr = self._device_worklist(seq, l_seq)
-        out = extend_host.extend_regions(self.opt, self.pac, self.l_pac,
-                                         reads, seq, wr)
+        groups = seeding_host.front_half(self, reads, seq, l_seq)
+        out: list[list[fin.AlnReg]] = [[] for _ in range(n)]
+        for ridx, wr in groups:
+            g_reads = [reads[i] for i in ridx]
+            g_regs = extend_host.extend_regions(
+                self.opt, self.pac, self.l_pac, g_reads, seq[ridx], wr)
+            for gi, i in enumerate(ridx):
+                out[i] = g_regs[gi]
         for i in range(n):
             ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
                                       reads[i].seq, out[i])

@@ -47,12 +47,14 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
 
     @functools.partial(jax.jit, static_argnames=("t_max",))
     def fn(query, qlen, target, tlen, h0, w, end_bonus, *, t_max):
-        B = query.shape[0]
         LT = target.shape[1]
-        rows = jnp.arange(B, dtype=jnp.int32)
 
         def target_at(i):
-            return target[rows, jnp.clip(i, 0, LT - 1)].astype(jnp.int32)
+            # scalar row index → column slice (no per-lane gather); rows
+            # past a lane's tlen read padding, which extend_batch masks
+            return jax.lax.dynamic_index_in_dim(
+                target, jnp.minimum(i, LT - 1), axis=1,
+                keepdims=False).astype(jnp.int32)
 
         return extops.extend_batch(query, qlen, target_at, tlen, h0, w,
                                    end_bonus, mat, o_del=o_del, e_del=e_del,
@@ -81,14 +83,32 @@ def cal_max_gap(opt: MemOptions, qlen: int) -> int:
 
 class _ExtBatcher:
     """Runs a set of extension lanes through the jitted kernel, bucketed by
-    (LQ, LT) shape class so one slow lane cannot stall thousands."""
+    (LQ, LT) shape class so one slow lane cannot stall thousands.
 
-    def __init__(self, opt: MemOptions, mat, end_bonus: int):
+    Targets are NOT materialized up front: each lane carries (t_start,
+    t_sign) into the reference and the per-class target block gathers only
+    the Σ tlen bases that exist (a full [M, LTmax] pac gather dominated the
+    whole pipeline before)."""
+
+    def __init__(self, opt: MemOptions, mat, end_bonus: int, pac, l_pac):
         self.opt = opt
         self.mat = mat
         self.end_bonus = end_bonus
+        self.pac = pac
+        self.l_pac = l_pac
 
-    def run(self, query, qlen, target, tlen, h0, w):
+    def _target_block(self, t_start, t_sign, tlen, LT):
+        B = len(tlen)
+        colt = np.arange(LT, dtype=np.int64)[None, :]
+        valid = colt < tlen[:, None]
+        pos = t_start[:, None] + t_sign[:, None] * colt
+        t = np.full((B, LT), 4, np.uint8)
+        t[valid] = ref_base_np(
+            self.pac, self.l_pac,
+            np.clip(pos[valid], 0, 2 * self.l_pac - 1))
+        return t
+
+    def run(self, query, qlen, t_start, t_sign, tlen, h0, w):
         """All arrays [M, *]; returns dict of result arrays [M]."""
         M = len(qlen)
         out = {k: np.zeros(M, np.int32)
@@ -108,11 +128,11 @@ class _ExtBatcher:
             LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
             LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
             q = np.full((B, LQ), 4, np.uint8)
-            t = np.full((B, LT), 4, np.uint8)
             wq = min(LQ, query.shape[1])
-            wt = min(LT, target.shape[1])
             q[: idx.size, :wq] = query[idx, :wq]
-            t[: idx.size, :wt] = target[idx, :wt]
+            t = np.full((B, LT), 4, np.uint8)
+            t[: idx.size] = self._target_block(t_start[idx], t_sign[idx],
+                                               np.minimum(tlen[idx], LT), LT)
             ql = np.zeros(B, np.int32)
             tl = np.zeros(B, np.int32)
             h = np.ones(B, np.int32)
@@ -134,20 +154,22 @@ class _ExtBatcher:
         return out
 
 
-def _extend_side(opt, mat, end_bonus, query, qlen, target, tlen, h0):
+def _extend_side(opt, mat, end_bonus, pac, l_pac, query, qlen, t_start,
+                 t_sign, tlen, h0):
     """MAX_BAND_TRY band-doubling (bwamem.c:732-741): pass 1 at w, retry at
     2w for lanes with max_off >= (w>>1)+(w>>2); returns results + aw."""
-    batcher = _ExtBatcher(opt, mat, end_bonus)
+    batcher = _ExtBatcher(opt, mat, end_bonus, pac, l_pac)
     M = len(qlen)
     w1 = np.full(M, opt.w, np.int32)
-    r1 = batcher.run(query, qlen, target, tlen, h0, w1)
+    r1 = batcher.run(query, qlen, t_start, t_sign, tlen, h0, w1)
     retry = r1["max_off"] >= ((opt.w >> 1) + (opt.w >> 2))
     retry &= qlen > 0
     aw = np.where(retry, opt.w * 2, opt.w).astype(np.int32)
     idx = np.nonzero(retry)[0]
     if idx.size:
-        r2 = batcher.run(query[idx], qlen[idx], target[idx], tlen[idx],
-                         h0[idx], np.full(idx.size, opt.w * 2, np.int32))
+        r2 = batcher.run(query[idx], qlen[idx], t_start[idx], t_sign[idx],
+                         tlen[idx], h0[idx],
+                         np.full(idx.size, opt.w * 2, np.int32))
         for k in r1:
             r1[k][idx] = r2[k]
     return r1, aw
@@ -188,20 +210,16 @@ def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
     lql = s_qb.astype(np.int32)
     ltl = np.where(s_qb > 0, s_rb - rmax0, 0).astype(np.int32)
     LQ = max(int(lql.max()), 1)
-    LT = max(int(ltl.max()), 1)
     colq = np.arange(LQ, dtype=np.int64)[None, :]
-    colt = np.arange(LT, dtype=np.int64)[None, :]
     qidx = s_qb[:, None] - 1 - colq
     lquery = np.where(
         qidx >= 0,
         seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)], 4
     ).astype(np.uint8)
-    lt_pos = s_rb[:, None] - 1 - colt
-    ltarget = np.where(colt < ltl[:, None],
-                       ref_base_np(pac, l_pac, lt_pos), 4).astype(np.uint8)
     h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
-    L, aw0 = _extend_side(opt, mat, opt.pen_clip5, lquery, lql, ltarget,
-                          ltl, h0)
+    neg1 = np.full(M, -1, np.int64)
+    L, aw0 = _extend_side(opt, mat, opt.pen_clip5, pac, l_pac, lquery, lql,
+                          s_rb - 1, neg1, ltl, h0)
 
     has_left = s_qb > 0
     loc_l = (L["gscore"] <= 0) | (L["gscore"] <= L["score"] - opt.pen_clip5)
@@ -220,21 +238,15 @@ def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
     rql = (l_seq - s_qe).astype(np.int32)
     rtl = np.where(s_qe < l_seq, rmax1 - (s_rb + s_len), 0).astype(np.int32)
     LQr = max(int(rql.max()), 1)
-    LTr = max(int(rtl.max()), 1)
     colq = np.arange(LQr, dtype=np.int64)[None, :]
-    colt = np.arange(LTr, dtype=np.int64)[None, :]
     qidx = s_qe[:, None] + colq
     rquery = np.where(qidx < l_seq[:, None],
                       seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)],
                       4).astype(np.uint8)
-    rt_pos = s_rb[:, None] + s_len[:, None] + colt
-    rtarget = np.where(colt < rtl[:, None],
-                       ref_base_np(pac, l_pac, np.clip(rt_pos, 0,
-                                                       2 * l_pac - 1)),
-                       4).astype(np.uint8)
     sc0 = np.maximum(score_l, 1).astype(np.int32)
-    R, aw1 = _extend_side(opt, mat, opt.pen_clip3, rquery, rql, rtarget,
-                          rtl, sc0)
+    pos1 = np.ones(M, np.int64)
+    R, aw1 = _extend_side(opt, mat, opt.pen_clip3, pac, l_pac, rquery, rql,
+                          s_rb + s_len, pos1, rtl, sc0)
 
     has_right = s_qe < l_seq
     loc_r = (R["gscore"] <= 0) | (R["gscore"] <= R["score"] - opt.pen_clip3)

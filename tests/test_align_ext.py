@@ -41,7 +41,7 @@ def oracle_extregs(oracle, prefix, fq):
 
 def run_align(idx, fm, seqs, pad_to=101):
     seq, l_seq = encode_reads(seqs, pad_to)
-    offs = jnp.asarray(idx.contig_offsets(), dtype=fm.occ.dtype)
+    offs = jnp.asarray(idx.contig_offsets(), dtype=fm.L2.dtype)
     res, regs = align_regs(fm, offs, jnp.asarray(idx.is_alt_flags()),
                            jnp.asarray(seq), jnp.asarray(l_seq), MemOptions())
     return regs

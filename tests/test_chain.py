@@ -42,7 +42,7 @@ def run_chains(idx, fm, seqs, pad_to=101):
     from bwamem_tpu.pipeline.seedchain import seed_and_chain_opts
     from bwamem_tpu.config import MemOptions
     seq, l_seq = encode_reads(seqs, pad_to)
-    offs = jnp.asarray(idx.contig_offsets(), dtype=fm.occ.dtype)
+    offs = jnp.asarray(idx.contig_offsets(), dtype=fm.L2.dtype)
     res = seed_and_chain_opts(fm, offs, jnp.asarray(idx.is_alt_flags()),
                               jnp.asarray(seq), jnp.asarray(l_seq),
                               MemOptions())

@@ -93,7 +93,7 @@ def run_batch(cases):
     tgt_j = jnp.asarray(tgt)
 
     def target_at(i):
-        return tgt_j[jnp.arange(B), jnp.clip(i, 0, T - 1)].astype(jnp.int32)
+        return tgt_j[:, jnp.minimum(i, T - 1)].astype(jnp.int32)
 
     fn = jax.jit(lambda q_, ql, tl, h_, w_, e_: extops.extend_batch(
         q_, ql, target_at, tl, h_, w_, e_, fill_scmat(1, 4),

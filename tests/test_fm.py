@@ -50,7 +50,7 @@ def test_occ4_brute(small):
     ks = np.concatenate([rng.integers(0, idx.seq_len + 1, 300),
                          [-1, 0, idx.seq_len, idx.primary,
                           idx.primary - 1, idx.primary + 1]])
-    got = np.asarray(fmops.occ4(fm, jnp.asarray(ks, dtype=fm.occ.dtype)))
+    got = np.asarray(fmops.occ4(fm, jnp.asarray(ks, dtype=fm.L2.dtype)))
     for k, row in zip(ks, got):
         if k == -1:
             assert (row == 0).all()
@@ -68,7 +68,7 @@ def occurrences(both: np.ndarray, pat: np.ndarray) -> int:
 
 def test_backward_search_matches_brute(small):
     idx, fm, both, sa_full = small
-    it = fm.occ.dtype
+    it = fm.L2.dtype
     rng = np.random.default_rng(1)
     for trial in range(20):
         plen = int(rng.integers(1, 18))
@@ -121,7 +121,7 @@ def test_sa_lookup(small):
     idx, fm, both, sa_full = small
     rng = np.random.default_rng(3)
     ks = rng.integers(0, idx.seq_len + 1, 500)
-    got = np.asarray(fmops.sa_lookup(fm, jnp.asarray(ks, dtype=fm.occ.dtype)))
+    got = np.asarray(fmops.sa_lookup(fm, jnp.asarray(ks, dtype=fm.L2.dtype)))
     np.testing.assert_array_equal(got, sa_full[ks])
 
 
@@ -129,7 +129,7 @@ def test_ref_base(small):
     idx, fm, both, sa_full = small
     rng = np.random.default_rng(4)
     pos = rng.integers(0, idx.seq_len, 300)
-    got = np.asarray(fmops.ref_base(fm, jnp.asarray(pos, dtype=fm.occ.dtype)))
+    got = np.asarray(fmops.ref_base(fm, jnp.asarray(pos, dtype=fm.L2.dtype)))
     np.testing.assert_array_equal(got, both[pos])
 
 

@@ -27,6 +27,7 @@
 #include <string.h>
 #include <unistd.h>
 #include <zlib.h>
+#include <limits.h>
 #include "bwa.h"
 #include "bwamem.h"
 #include "bwt.h"
@@ -351,8 +352,60 @@ static int cmd_ksw(int argc, char *argv[])
     return 0;
 }
 
+/* fastmap: SMEM iterator dump, same format as `bwa fastmap`
+ * (reference fastmap.c:324-399) */
+static int cmd_fastmap(int argc, char *argv[])
+{
+    int c, i, min_iwidth = 20, min_len = 17, min_intv = 1;
+    kseq_t *ks; gzFile fp; bwaidx_t *idx; smem_i *itr;
+    const bwtintv_v *a;
+    bwtint_t k;
+    while ((c = getopt(argc, argv, "w:l:i:")) >= 0) {
+        if (c == 'w') min_iwidth = atoi(optarg);
+        else if (c == 'l') min_len = atoi(optarg);
+        else if (c == 'i') min_intv = atoi(optarg);
+        else return 1;
+    }
+    if (optind + 2 > argc) { fprintf(stderr, "Usage: bwa_oracle fastmap [-w W -l L -i I] <prefix> <fq>\n"); return 1; }
+    if ((idx = bwa_idx_load(argv[optind], BWA_IDX_BWT|BWA_IDX_BNS)) == 0) return 1;
+    fp = gzopen(argv[optind+1], "r");
+    ks = kseq_init(fp);
+    itr = smem_itr_init(idx->bwt);
+    smem_config(itr, min_intv, INT_MAX, 0);
+    while (kseq_read(ks) >= 0) {
+        printf("SQ\t%s\t%ld\n", ks->name.s, (long)ks->seq.l);
+        for (i = 0; i < ks->seq.l; ++i)
+            ks->seq.s[i] = nst_nt4_table[(int)ks->seq.s[i]];
+        smem_set_query(itr, ks->seq.l, (uint8_t*)ks->seq.s);
+        while ((a = smem_next(itr)) != 0) {
+            for (i = 0; i < a->n; ++i) {
+                bwtintv_t *p = &a->a[i];
+                if ((uint32_t)p->info - (p->info>>32) < min_len) continue;
+                printf("EM\t%d\t%d\t%ld", (uint32_t)(p->info>>32), (uint32_t)p->info, (long)p->x[2]);
+                if (p->x[2] <= min_iwidth) {
+                    for (k = 0; k < p->x[2]; ++k) {
+                        bwtint_t pos;
+                        int len, is_rev, ref_id;
+                        len = (uint32_t)p->info - (p->info>>32);
+                        pos = bns_depos(idx->bns, bwt_sa(idx->bwt, p->x[0] + k), &is_rev);
+                        if (is_rev) pos -= len - 1;
+                        bns_cnt_ambi(idx->bns, pos, len, &ref_id);
+                        printf("\t%s:%c%ld", idx->bns->anns[ref_id].name, "+-"[is_rev], (long)(pos - idx->bns->anns[ref_id].offset) + 1);
+                    }
+                } else fputs("\t*", stdout);
+                putchar('\n');
+            }
+        }
+        puts("//");
+    }
+    smem_itr_destroy(itr);
+    bwa_idx_destroy(idx); kseq_destroy(ks); gzclose(fp);
+    return 0;
+}
+
 int main(int argc, char *argv[])
 {
+    if (argc >= 2 && strcmp(argv[1], "fastmap") == 0) return cmd_fastmap(argc-1, argv+1);
     if (argc >= 2 && strcmp(argv[1], "ksw") == 0) return cmd_ksw(argc-1, argv+1);
     if (argc < 2) return usage();
     if (strcmp(argv[1], "index") == 0) return cmd_index(argc-1, argv+1);

@@ -54,13 +54,26 @@ def main():
     al.align_batch_se(reads[:n], 0)
     print(f"warmup+compile: {time.perf_counter() - t0:.2f}s")
 
+    from bwamem_tpu.pipeline import seeding_host
+
     for rep in range(2):
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
-        wr = clock("1.device_worklist", al._device_worklist, seq, l_seq)
-        regs = clock("2.flat_extension", extend_host.extend_regions,
-                     al.opt, al.pac, al.l_pac, reads, seq, wr)
+        groups = clock("1.seed+chain", seeding_host.front_half,
+                       al, reads, seq, l_seq)
+
+        def ext():
+            out = [[] for _ in range(n)]
+            for ridx, wr in groups:
+                g_reads = [reads[i] for i in ridx]
+                g = extend_host.extend_regions(al.opt, al.pac, al.l_pac,
+                                               g_reads, seq[ridx], wr)
+                for gi, i in enumerate(ridx):
+                    out[i] = g[gi]
+            return out
+
+        regs = clock("2.flat_extension", ext)
 
         def dedup():
             out = []
