@@ -80,7 +80,7 @@ def main():
 
     from bwamem_tpu.index import BwaIndex
     from bwamem_tpu.io.fastq import read_fastx, batches
-    from bwamem_tpu.pipeline.align import Aligner
+    from bwamem_tpu.pipeline.align import Aligner, align_stream
 
     idx = BwaIndex.load(prefix + ".ours")
     reads = list(read_fastx(fq))
@@ -92,10 +92,9 @@ def main():
     t0 = time.perf_counter()
     done = 0
     n_sam = 0
-    for b in batches(iter(reads), BATCH):
-        out = al.align_batch_se(b, done)
+    for n, out in align_stream(al, batches(iter(reads), BATCH)):
         n_sam += sum(len(s) for s in out)
-        done += len(b)
+        done += n
     dt = time.perf_counter() - t0
     rps = done / dt
 

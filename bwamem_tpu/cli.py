@@ -225,21 +225,20 @@ def cmd_mem(argv: list[str]) -> int:
             opt.flag |= MEM_F_PE
             pe = True
 
+    from bwamem_tpu.pipeline.align import align_stream
     al = Aligner(idx, opt)
     rg = _rg_id(x["rg_line"])
     n_processed = 0
     chunk = x["fixed_chunk"] if x["fixed_chunk"] > 0 else \
         opt.chunk_size * opt.n_threads
-    # reads per batch ~ chunk bases (bseq_read semantics, bwa.c:195-210)
-    for batch in _batches_by_bases(rdr, chunk, pe):
-        if pe:
-            sams = al.align_batch_pe(batch, n_processed, rg_id=rg,
-                                     pes0=x["pes"])
-        else:
-            sams = al.align_batch_se(batch, n_processed, rg_id=rg)
+    # reads per batch ~ chunk bases (bseq_read semantics, bwa.c:195-210);
+    # batches overlap input/compute/output like the reference's
+    # superbatch/minibatch async pipeline
+    for n, sams in align_stream(al, _batches_by_bases(rdr, chunk, pe),
+                                pe=pe, rg_id=rg, pes0=x["pes"]):
         for s in sams:
             out.write(s)
-        n_processed += len(batch)
+        n_processed += n
         sys.stderr.write(f"[M::mem] processed {n_processed} reads\n")
     if x["out"]:
         out.close()

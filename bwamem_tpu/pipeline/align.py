@@ -139,8 +139,8 @@ class Aligner:
         out: list[list[fin.AlnReg]] = [[] for _ in range(n)]
         for ridx, wr in groups:
             g_reads = [reads[i] for i in ridx]
-            g_regs = extend_host.extend_regions(
-                self.opt, self.pac, self.l_pac, g_reads, seq[ridx], wr)
+            g_regs = extend_host.extend_regions(self, g_reads, seq[ridx],
+                                                wr)
             for gi, i in enumerate(ridx):
                 out[i] = g_regs[gi]
         for i in range(n):
@@ -558,3 +558,37 @@ class Aligner:
                         (0x41 if i == 0 else 0x81) | extra, h[1 - i],
                         rg_id)
         return out
+
+
+def align_stream(al: Aligner, batch_iter, *, pe: bool = False,
+                 rg_id: str | None = None, pes0: dict | None = None,
+                 depth: int = 2):
+    """Pipelined batch driver — the reference's superbatch/minibatch triple
+    overlap (cuda/minibatch_process.cpp:196-208, std::async of input /
+    compute / output) as a thread pipeline: batch k+1's parse+front-half
+    runs while batch k finalizes and renders.  `batch_iter` yields lists of
+    Reads (the caller picks read-count or -K base-count chunking); yields
+    (n_reads, sam_list) per batch in input order."""
+    import concurrent.futures as cf
+
+    def stage(batch, n_processed):
+        if pe:
+            return al.align_batch_pe(batch, n_processed, rg_id=rg_id,
+                                     pes0=pes0)
+        return al.align_batch_se(batch, n_processed, rg_id=rg_id)
+
+    ex = cf.ThreadPoolExecutor(max_workers=depth)
+    pending = []
+    n_processed = 0
+    try:
+        for batch in batch_iter:
+            pending.append((len(batch),
+                            ex.submit(stage, batch, n_processed)))
+            n_processed += len(batch)
+            while len(pending) > depth:
+                n, fut = pending.pop(0)
+                yield n, fut.result()
+        for n, fut in pending:
+            yield n, fut.result()
+    finally:
+        ex.shutdown(wait=True)

@@ -42,19 +42,46 @@ def _bucket(x: int, lo: int = 16) -> int:
 def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
                     e_ins: int, zdrop: int):
     """Jitted flat extension kernel closing over a CONCRETE scoring matrix
-    (extend_batch derives Python constants from it)."""
+    (extend_batch derives Python constants from it).
+
+    Queries and targets are built ON DEVICE from the resident read batch
+    and packed reference: each lane carries only (read row, q_start,
+    q_sign, t_start, t_sign, lengths), so the host ships a few [B] vectors
+    instead of [B, L] matrices through the transport (which dominated)."""
     mat = np.frombuffer(mat_bytes, np.int8).reshape(5, 5)
 
-    @functools.partial(jax.jit, static_argnames=("t_max",))
-    def fn(query, qlen, target, tlen, h0, w, end_bonus, *, t_max):
-        LT = target.shape[1]
+    @functools.partial(jax.jit, static_argnames=("lq_max", "t_max"))
+    def fn(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
+           t_start, t_sign, tlen, h0, w, end_bonus, *, lq_max, t_max):
+        B = lane_read.shape[0]
+        i32 = jnp.int32
+        L = seqbatch.shape[1]
+        j = jnp.arange(lq_max, dtype=jnp.int64)[None, :]
+        qidx = q_start[:, None] + q_sign[:, None] * j
+        query = jnp.where(
+            j < qlen[:, None],
+            seqbatch[lane_read[:, None],
+                     jnp.clip(qidx, 0, L - 1).astype(i32)],
+            4).astype(jnp.uint8)
+        ti = jnp.arange(t_max, dtype=jnp.int64)[None, :]
+        pos = jnp.clip(t_start[:, None] + t_sign[:, None] * ti,
+                       0, 2 * l_pac - 1)
+        is_rev = pos >= l_pac
+        fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
+        word = pac[(fpos >> 4).astype(i32)]
+        byte = (word >> (((fpos.astype(i32) & 15) >> 2) << 3).astype(
+            jnp.uint32)) & 0xFF
+        b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
+            jnp.uint32))) & 3
+        b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
+        target = jnp.where(ti < tlen[:, None], b, 4).astype(jnp.uint8)
 
         def target_at(i):
             # scalar row index → column slice (no per-lane gather); rows
             # past a lane's tlen read padding, which extend_batch masks
             return jax.lax.dynamic_index_in_dim(
-                target, jnp.minimum(i, LT - 1), axis=1,
-                keepdims=False).astype(jnp.int32)
+                target, jnp.minimum(i, t_max - 1), axis=1,
+                keepdims=False).astype(i32)
 
         return extops.extend_batch(query, qlen, target_at, tlen, h0, w,
                                    end_bonus, mat, o_del=o_del, e_del=e_del,
@@ -90,31 +117,26 @@ class _ExtBatcher:
     the Σ tlen bases that exist (a full [M, LTmax] pac gather dominated the
     whole pipeline before)."""
 
-    def __init__(self, opt: MemOptions, mat, end_bonus: int, pac, l_pac):
+    def __init__(self, opt: MemOptions, mat, end_bonus: int, pac_dev,
+                 l_pac: int, seq_dev):
         self.opt = opt
         self.mat = mat
         self.end_bonus = end_bonus
-        self.pac = pac
+        self.pac_dev = pac_dev
         self.l_pac = l_pac
+        self.seq_dev = seq_dev
 
-    def _target_block(self, t_start, t_sign, tlen, LT):
-        B = len(tlen)
-        colt = np.arange(LT, dtype=np.int64)[None, :]
-        valid = colt < tlen[:, None]
-        pos = t_start[:, None] + t_sign[:, None] * colt
-        t = np.full((B, LT), 4, np.uint8)
-        t[valid] = ref_base_np(
-            self.pac, self.l_pac,
-            np.clip(pos[valid], 0, 2 * self.l_pac - 1))
-        return t
-
-    def run(self, query, qlen, t_start, t_sign, tlen, h0, w):
-        """All arrays [M, *]; returns dict of result arrays [M]."""
+    def run(self, lane_read, q_start, q_sign, qlen, t_start, t_sign, tlen,
+            h0, w):
+        """All arrays [M]; returns dict of result arrays [M]."""
         M = len(qlen)
         out = {k: np.zeros(M, np.int32)
                for k in ("score", "qle", "tle", "gtle", "gscore", "max_off")}
         if M == 0:
             return out
+        fn = _extend_flat_fn(
+            np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
+            self.opt.e_del, self.opt.o_ins, self.opt.e_ins, self.opt.zdrop)
         # size classes by target length (the while_loop row count)
         classes = [64, 256, max(1024, _bucket(int(tlen.max()) if M else 1))]
         assigned = np.zeros(M, bool)
@@ -127,60 +149,56 @@ class _ExtBatcher:
             B = _bucket(idx.size, lo=8)
             LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
             LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
-            q = np.full((B, LQ), 4, np.uint8)
-            wq = min(LQ, query.shape[1])
-            q[: idx.size, :wq] = query[idx, :wq]
-            t = np.full((B, LT), 4, np.uint8)
-            t[: idx.size] = self._target_block(t_start[idx], t_sign[idx],
-                                               np.minimum(tlen[idx], LT), LT)
-            ql = np.zeros(B, np.int32)
-            tl = np.zeros(B, np.int32)
-            h = np.ones(B, np.int32)
-            ww = np.full(B, self.opt.w, np.int32)
-            ql[: idx.size] = qlen[idx]
-            tl[: idx.size] = tlen[idx]
-            h[: idx.size] = h0[idx]
-            ww[: idx.size] = w[idx]
-            eb = jnp.full((B,), self.end_bonus, jnp.int32)
-            fn = _extend_flat_fn(
-                np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
-                self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-                self.opt.zdrop)
-            res = fn(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
-                     jnp.asarray(tl), jnp.asarray(h), jnp.asarray(ww), eb,
-                     t_max=LT)
+
+            def pad(a, dt, fill=0):
+                o = np.full(B, fill, dt)
+                o[: idx.size] = a[idx]
+                return jnp.asarray(o)
+
+            res = fn(self.pac_dev, self.l_pac, self.seq_dev,
+                     pad(lane_read, np.int32),
+                     pad(q_start, np.int64), pad(q_sign, np.int64, 1),
+                     pad(qlen, np.int32),
+                     pad(t_start, np.int64), pad(t_sign, np.int64, 1),
+                     pad(tlen, np.int32), pad(h0, np.int32, 1),
+                     pad(w, np.int32, self.opt.w),
+                     jnp.full((B,), self.end_bonus, jnp.int32),
+                     lq_max=LQ, t_max=LT)
             for k in out:
                 out[k][idx] = np.asarray(getattr(res, k))[: idx.size]
         return out
 
 
-def _extend_side(opt, mat, end_bonus, pac, l_pac, query, qlen, t_start,
+def _extend_side(batcher, opt, lane_read, q_start, q_sign, qlen, t_start,
                  t_sign, tlen, h0):
     """MAX_BAND_TRY band-doubling (bwamem.c:732-741): pass 1 at w, retry at
     2w for lanes with max_off >= (w>>1)+(w>>2); returns results + aw."""
-    batcher = _ExtBatcher(opt, mat, end_bonus, pac, l_pac)
     M = len(qlen)
     w1 = np.full(M, opt.w, np.int32)
-    r1 = batcher.run(query, qlen, t_start, t_sign, tlen, h0, w1)
+    r1 = batcher.run(lane_read, q_start, q_sign, qlen, t_start, t_sign,
+                     tlen, h0, w1)
     retry = r1["max_off"] >= ((opt.w >> 1) + (opt.w >> 2))
     retry &= qlen > 0
     aw = np.where(retry, opt.w * 2, opt.w).astype(np.int32)
     idx = np.nonzero(retry)[0]
     if idx.size:
-        r2 = batcher.run(query[idx], qlen[idx], t_start[idx], t_sign[idx],
-                         tlen[idx], h0[idx],
-                         np.full(idx.size, opt.w * 2, np.int32))
+        r2 = batcher.run(lane_read[idx], q_start[idx], q_sign[idx],
+                         qlen[idx], t_start[idx], t_sign[idx], tlen[idx],
+                         h0[idx], np.full(idx.size, opt.w * 2, np.int32))
         for k in r1:
             r1[k][idx] = r2[k]
     return r1, aw
 
 
-def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
-                   reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
-    """reads: list[Read]; seq: packed [N, L] nt4; wr: WorklistResult (numpy).
-    Returns per-read AlnReg lists in mem_chain2aln emission order."""
+def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
+    """al: Aligner; reads: list[Read]; seq: packed [N, L] nt4 for THESE
+    reads; wr: WorklistNp.  Returns per-read AlnReg lists in mem_chain2aln
+    emission order."""
+    opt: MemOptions = al.opt
+    l_pac = al.l_pac
     n = len(reads)
     mat = opt.mat
+    seq_dev = jnp.asarray(seq)
 
     # ---- flatten work items ----
     n_items = wr.wl_n
@@ -209,16 +227,11 @@ def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
     # ---- left extension lanes (reversed prefixes) ----
     lql = s_qb.astype(np.int32)
     ltl = np.where(s_qb > 0, s_rb - rmax0, 0).astype(np.int32)
-    LQ = max(int(lql.max()), 1)
-    colq = np.arange(LQ, dtype=np.int64)[None, :]
-    qidx = s_qb[:, None] - 1 - colq
-    lquery = np.where(
-        qidx >= 0,
-        seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)], 4
-    ).astype(np.uint8)
     h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
     neg1 = np.full(M, -1, np.int64)
-    L, aw0 = _extend_side(opt, mat, opt.pen_clip5, pac, l_pac, lquery, lql,
+    batcherL = _ExtBatcher(opt, mat, opt.pen_clip5, al.fm.pac, l_pac,
+                           seq_dev)
+    L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
                           s_rb - 1, neg1, ltl, h0)
 
     has_left = s_qb > 0
@@ -237,15 +250,11 @@ def extend_regions(opt: MemOptions, pac: np.ndarray, l_pac: int,
     s_qe = s_qb + s_len
     rql = (l_seq - s_qe).astype(np.int32)
     rtl = np.where(s_qe < l_seq, rmax1 - (s_rb + s_len), 0).astype(np.int32)
-    LQr = max(int(rql.max()), 1)
-    colq = np.arange(LQr, dtype=np.int64)[None, :]
-    qidx = s_qe[:, None] + colq
-    rquery = np.where(qidx < l_seq[:, None],
-                      seq[ii[:, None], np.clip(qidx, 0, seq.shape[1] - 1)],
-                      4).astype(np.uint8)
     sc0 = np.maximum(score_l, 1).astype(np.int32)
     pos1 = np.ones(M, np.int64)
-    R, aw1 = _extend_side(opt, mat, opt.pen_clip3, pac, l_pac, rquery, rql,
+    batcherR = _ExtBatcher(opt, mat, opt.pen_clip3, al.fm.pac, l_pac,
+                           seq_dev)
+    R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
                           s_rb + s_len, pos1, rtl, sc0)
 
     has_right = s_qe < l_seq

@@ -271,106 +271,57 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     (read, start, end) — mem_collect_intv output (bwamem.c:137-185) plus an
     overflow flag per read.
 
-    Candidate caps scale with read length: one pivot can push up to one
-    candidate per scanned base (every extension may change the interval
-    size), so a fixed small cap silently drops the LONGEST matches of a
-    pivot (they are pushed last)."""
+    Pass 1 + pass 3 run as ONE fused device program that compacts its own
+    lanes and returns flat SMEM arrays (a few MB) instead of [N, cap]
+    candidate grids (tens of MB through the transport).  Pass 2 reseeds the
+    (rare) long low-occ SMEMs through host-compacted lanes."""
     opt: MemOptions = al.opt
     it = np.asarray(al.fm.L2).dtype
     seq_j = jnp.asarray(seq_np)
     l_j = jnp.asarray(l_seq)
-    N = seq_np.shape[0]
-    if caps is None:
-        caps = smemops.SeedingCaps(cand1=2 * seq_np.shape[1], cand2=48,
-                                   pass3=32)
+    N, Lr = seq_np.shape
+    cap = 2 * Lr
+    out = _pass1_fused_jit(
+        al.fm, seq_j, l_j, cap=cap, kmax=_bucket(N * 32, lo=1024),
+        emax=_bucket(N * 16, lo=1024), min_seed_len=opt.min_seed_len,
+        max_mem_intv=opt.max_mem_intv, p3cap=32)
+    (o_read, o_s, o_e, o_x0, o_x2, n_emit, p3x0, p3x2, p3s, p3e, p3n,
+     over) = (np.asarray(x) for x in out)
+    K = int(n_emit)
+    o_read, o_s, o_e = o_read[:K], o_s[:K], o_e[:K]
+    o_x0, o_x2 = o_x0[:K], o_x2[:K]
 
-    # ---- pass 1: forward scan (device), backward extend (device, compact)
-    c1 = _fwd_scan_jit(al.fm, seq_j, l_j,
-                       jnp.zeros((N,), jnp.int32),
-                       jnp.ones((N,), it), cap=caps.cand1, multi_pivot=True)
-    c1 = jax.tree.map(np.asarray, c1)
-    cnt1 = c1.n[:n]
-    rows1, slots1 = np.nonzero(
-        np.arange(caps.cand1)[None, :] < cnt1[:, None])
-    M1 = rows1.size
+    out_read = [o_read]
+    out_s = [o_s]
+    out_e = [o_e]
+    out_x0 = [o_x0]
+    out_x2 = [o_x2]
 
-    def back_compact(rows, cols, cand, min_iv):
-        M = rows.size
-        Mp = _bucket(max(M, 1), lo=256)
-        lr = np.zeros(Mp, np.int32)
-        pv = np.zeros(Mp, np.int32)
-        bx0 = np.zeros(Mp, it)
-        bx1 = np.zeros(Mp, it)
-        bx2 = np.zeros(Mp, it)
-        mi = np.ones(Mp, it)
-        va = np.zeros(Mp, bool)
-        lr[:M] = rows
-        pv[:M] = cand.pivot[rows, cols]
-        bx0[:M] = cand.x0[rows, cols]
-        bx1[:M] = cand.x1[rows, cols]
-        bx2[:M] = cand.x2[rows, cols]
-        mi[:M] = min_iv
-        va[:M] = True
-        s, ox0, ox2 = (np.asarray(x) for x in _back_flat_jit(
-            al.fm, seq_j, jnp.asarray(lr), jnp.asarray(pv),
-            jnp.asarray(bx0), jnp.asarray(bx1), jnp.asarray(bx2),
-            jnp.asarray(mi), jnp.asarray(va)))
-        return s[:M], ox0[:M], ox2[:M]
-
-    if M1:
-        s1f, x0f, x2f = back_compact(rows1, slots1, c1, 1)
-    else:
-        s1f = x0f = x2f = np.zeros(0, it)
-    s1 = np.zeros((n, caps.cand1), np.int32)
-    sx0 = np.zeros((n, caps.cand1), it)
-    sx2 = np.zeros((n, caps.cand1), it)
-    s1[rows1, slots1] = s1f
-    sx0[rows1, slots1] = x0f
-    sx2[rows1, slots1] = x2f
-    e1 = c1.end[:n]
-    emit1 = _emit_np(c1.pivot[:n], s1, e1, cnt1, caps.cand1)
-    smem1 = emit1 & ((e1 - s1) >= opt.min_seed_len)
-
-    # ---- pass 2 on compacted parent lanes ----
-    qual = smem1 & ((e1 - s1) >= opt.split_len) & (sx2 <= opt.split_width)
-    prow, pcol = np.nonzero(qual)
-    out_read, out_s, out_e, out_x0, out_x2 = [], [], [], [], []
-    ir, ic = np.nonzero(smem1)
-    out_read.append(ir.astype(np.int32))
-    out_s.append(s1[ir, ic])
-    out_e.append(e1[ir, ic].astype(np.int32))
-    out_x0.append(sx0[ir, ic])
-    out_x2.append(sx2[ir, ic])
-    if prow.size:
-        M2 = prow.size
+    # ---- pass 2 on compacted parent lanes (bwamem.c:155-165) ----
+    qual = ((o_e - o_s) >= opt.split_len) & (o_x2 <= opt.split_width)
+    pidx = np.nonzero(qual)[0]
+    prow = o_read[pidx]
+    c2over = np.zeros(n, bool)
+    if pidx.size:
+        M2 = pidx.size
         Mp = _bucket(M2, lo=64)
-        pseq = np.full((Mp, seq_np.shape[1]), 4, np.uint8)
+        pseq = np.full((Mp, Lr), 4, np.uint8)
         pseq[:M2] = seq_np[prow]
         pl = np.zeros(Mp, np.int32)
         pl[:M2] = l_seq[prow]
         pstart = np.zeros(Mp, np.int32)
-        pstart[:M2] = (s1[prow, pcol] + e1[prow, pcol]) >> 1
+        pstart[:M2] = (o_s[pidx] + o_e[pidx]) >> 1
         pmin = np.ones(Mp, it)
-        pmin[:M2] = sx2[prow, pcol] + 1
-        # lanes beyond M2: start >= l_seq → immediately done
-        pstart[M2:] = 0
-        pl[M2:] = 0
+        pmin[:M2] = o_x2[pidx] + 1
+        cand2 = 48
         c2 = _fwd_scan_jit(al.fm, jnp.asarray(pseq), jnp.asarray(pl),
                            jnp.asarray(pstart), jnp.asarray(pmin),
-                           cap=caps.cand2, multi_pivot=False)
+                           cap=cand2, multi_pivot=False)
         c2 = jax.tree.map(np.asarray, c2)
         cnt2 = c2.n[:M2]
         rows2, slots2 = np.nonzero(
-            np.arange(caps.cand2)[None, :] < cnt2[:, None])
+            np.arange(cand2)[None, :] < cnt2[:, None])
         if rows2.size:
-            # lane_read for pass-2 back extension = parent's ORIGINAL read
-            class _C2:
-                pivot = c2.pivot
-                x0 = c2.x0
-                x1 = c2.x1
-                x2 = c2.x2
-            # back_compact indexes cand arrays by [rows, cols]; rows here
-            # are parent-lane indices; remap seq rows via prow
             M = rows2.size
             Mp2 = _bucket(M, lo=256)
             lr = np.zeros(Mp2, np.int32)
@@ -391,14 +342,14 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                 al.fm, seq_j, jnp.asarray(lr), jnp.asarray(pv),
                 jnp.asarray(bx0), jnp.asarray(bx1), jnp.asarray(bx2),
                 jnp.asarray(mi), jnp.asarray(va)))
-            s2 = np.zeros((M2, caps.cand2), np.int32)
-            sx0_2 = np.zeros((M2, caps.cand2), it)
-            sx2_2 = np.zeros((M2, caps.cand2), it)
+            s2 = np.zeros((M2, cand2), np.int32)
+            sx0_2 = np.zeros((M2, cand2), it)
+            sx2_2 = np.zeros((M2, cand2), it)
             s2[rows2, slots2] = s2f
             sx0_2[rows2, slots2] = x0f2
             sx2_2[rows2, slots2] = x2f2
             e2 = c2.end[:M2]
-            emit2 = _emit_np(c2.pivot[:M2], s2, e2, cnt2, caps.cand2)
+            emit2 = _emit_np(c2.pivot[:M2], s2, e2, cnt2, cand2)
             smem2 = emit2 & ((e2 - s2) >= opt.min_seed_len)
             jr, jc = np.nonzero(smem2)
             out_read.append(prow[jr].astype(np.int32))
@@ -406,15 +357,10 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
             out_e.append(e2[jr, jc].astype(np.int32))
             out_x0.append(sx0_2[jr, jc])
             out_x2.append(sx2_2[jr, jc])
-        c2over = c2.overflow[:M2].any()
-    else:
-        c2over = False
+        np.logical_or.at(c2over, prow, c2.overflow[:M2])
 
-    # ---- pass 3 (device, [N] lanes) ----
+    # ---- pass 3 (from the fused program) ----
     if opt.max_mem_intv > 0:
-        p3 = _pass3_jit(al.fm, seq_j, l_j, min_len=opt.min_seed_len,
-                        max_intv=opt.max_mem_intv, cap=smemops.SeedingCaps().pass3)
-        p3x0, p3x2, p3s, p3e, p3n, p3over = (np.asarray(x) for x in p3)
         kr, kc = np.nonzero(
             np.arange(p3s.shape[1])[None, :] < p3n[:n, None])
         out_read.append(kr.astype(np.int32))
@@ -422,9 +368,6 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
         out_e.append(p3e[kr, kc])
         out_x0.append(p3x0[kr, kc])
         out_x2.append(p3x2[kr, kc])
-        p3over_any = p3over[:n]
-    else:
-        p3over_any = np.zeros(n, bool)
 
     read_iv = np.concatenate(out_read)
     start = np.concatenate(out_s).astype(np.int64)
@@ -433,8 +376,83 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     x2 = np.concatenate(out_x2).astype(np.int64)
     # sort by (read, start, end) — ks_introsort(mem_intv) on info
     order = np.lexsort((end, start, read_iv))
-    overflow = (c1.overflow[:n] | p3over_any).copy()
-    if prow.size:
-        np.logical_or.at(overflow, prow, c2.overflow[:M2])
+    overflow = over[:n] | c2over
     return (read_iv[order], start[order], end[order], x0[order], x2[order],
             overflow)
+
+
+# --------------------------------------------------------------------------
+# Fully fused pass-1 (+pass-3) program: forward scan → device-side lane
+# compaction → backward extension → emission → compact SMEM output.  One
+# dispatch, a few MB out, no [N, cap] candidate download (which was
+# transport-bound on the tunneled chip).
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "kmax", "emax", "min_seed_len", "max_mem_intv", "p3cap"))
+def _pass1_fused_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len,
+                     max_mem_intv, p3cap):
+    N, L = seq.shape
+    it = fm.L2.dtype
+    i32 = jnp.int32
+    c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
+                              jnp.ones((N,), it), cap, multi_pivot=True)
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
+    slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
+    mask = slots < c1.n[:, None]
+    fmask = mask.reshape(-1)
+    pos = jnp.cumsum(fmask.astype(i32)) - 1
+    k_over = pos[-1] + 1 > kmax
+    tgt = jnp.where(fmask, jnp.minimum(pos, kmax - 1), kmax)
+
+    def compact(a, dt):
+        return jnp.zeros((kmax,), dt).at[tgt].set(
+            a.reshape(-1).astype(dt), mode="drop")
+
+    lane_read = compact(rows, i32)
+    pivot = compact(c1.pivot, i32)
+    fx0 = compact(c1.x0, it)
+    fx1 = compact(c1.x1, it)
+    fx2 = compact(c1.x2, it)
+    nflat = jnp.minimum(pos[-1] + 1, kmax)
+    fvalid = jnp.arange(kmax, dtype=i32) < nflat
+    s_f, x0_f, x2_f = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, fx0, fx1, fx2,
+        jnp.ones((kmax,), it), fvalid)
+    # scatter s back to the [N, cap] grid for the emission rule
+    back = jnp.where(mask, jnp.clip(pos.reshape(N, cap), 0, kmax - 1), 0)
+    s_grid = jnp.where(mask, s_f[back], 0)
+    x0_grid = jnp.where(mask, x0_f[back], 0)
+    x2_grid = jnp.where(mask, x2_f[back], 0)
+    emit = smemops.emit_mask(c1, s_grid.reshape(-1))
+    emit = emit & ((c1.end - s_grid) >= min_seed_len)
+    # compact emitted SMEMs
+    efl = emit.reshape(-1)
+    epos = jnp.cumsum(efl.astype(i32)) - 1
+    e_over = epos[-1] + 1 > emax
+    etgt = jnp.where(efl, jnp.minimum(epos, emax - 1), emax)
+
+    def ecompact(a, dt):
+        return jnp.zeros((emax,), dt).at[etgt].set(
+            a.reshape(-1).astype(dt), mode="drop")
+
+    out_read = ecompact(rows, i32)
+    out_s = ecompact(s_grid, i32)
+    out_e = ecompact(c1.end, i32)
+    out_x0 = ecompact(x0_grid, it)
+    out_x2 = ecompact(x2_grid, it)
+    n_emit = jnp.minimum(epos[-1] + 1, emax)
+
+    if max_mem_intv > 0:
+        p3 = smemops.pass3_scan(fm, seq, l_seq, min_seed_len, max_mem_intv,
+                                p3cap)
+        p3x0, p3x2, p3s, p3e, p3n, p3over = p3
+    else:
+        z = jnp.zeros((N, p3cap), it)
+        zi = jnp.zeros((N, p3cap), i32)
+        p3x0, p3x2, p3s, p3e = z, z, zi, zi
+        p3n = jnp.zeros((N,), i32)
+        p3over = jnp.zeros((N,), bool)
+    overflow = c1.overflow | k_over | e_over
+    return (out_read, out_s, out_e, out_x0, out_x2, n_emit,
+            p3x0, p3x2, p3s, p3e, p3n, overflow | p3over)

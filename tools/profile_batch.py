@@ -67,8 +67,7 @@ def main():
             out = [[] for _ in range(n)]
             for ridx, wr in groups:
                 g_reads = [reads[i] for i in ridx]
-                g = extend_host.extend_regions(al.opt, al.pac, al.l_pac,
-                                               g_reads, seq[ridx], wr)
+                g = extend_host.extend_regions(al, g_reads, seq[ridx], wr)
                 for gi, i in enumerate(ridx):
                     out[i] = g[gi]
             return out
