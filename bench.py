@@ -31,7 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 GENOME = 5_000_000
 N_READS = 20_000
 READ_LEN = 101
-BATCH = 10000
+BATCH = 8192
 
 
 def ensure_data():
@@ -84,6 +84,10 @@ def main():
 
     idx = BwaIndex.load(prefix + ".ours")
     reads = list(read_fastx(fq))
+    # uniform batches: a ragged tail batch would compile a whole second
+    # shape family inside the timed region (no persistent executable cache
+    # on this PJRT backend)
+    reads = reads[: (len(reads) // BATCH) * BATCH]
     al = Aligner(idx)
 
     # warmup / compile on the first batch
