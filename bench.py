@@ -90,8 +90,13 @@ def main():
     reads = reads[: (len(reads) // BATCH) * BATCH]
     al = Aligner(idx)
 
-    # warmup / compile on the first batch
-    al.align_batch_se(reads[:BATCH], 0)
+    # warmup / compile over the full set once: shape buckets are coarse but
+    # data-dependent, and this backend cannot cache executables across
+    # processes, so the warmup must visit every shape the timed pass sees
+    done = 0
+    for b in batches(iter(reads), BATCH):
+        al.align_batch_se(b, done)
+        done += len(b)
 
     t0 = time.perf_counter()
     done = 0

@@ -34,6 +34,7 @@ from bwamem_tpu.io import sam as samio
 from bwamem_tpu.ops import fm as fmops
 from bwamem_tpu.ops import global_sw
 from bwamem_tpu.ops import local_sw
+from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import seedchain
 
 
@@ -84,7 +85,7 @@ class Aligner:
 
     def _device_global(self, q, qlen, t, tlen, w, w_max):
         B = q.shape[0]
-        Bp = _bucket(B, lo=8)
+        Bp = _shapes.lanes(B, fine_lo=8, coarse_lo=512)
         if Bp != B:
             pad = Bp - B
             q = np.pad(q, ((0, pad), (0, 0)), constant_values=4)
@@ -107,7 +108,7 @@ class Aligner:
         B = q.shape[0]
         LQ = _bucket(-(-q.shape[1] // p) * p, lo=32)
         LT = _bucket(t.shape[1], lo=64)
-        Bp = _bucket(B, lo=8)
+        Bp = _shapes.lanes(B, fine_lo=8, coarse_lo=64)
         q = np.pad(q, ((0, Bp - B), (0, LQ - q.shape[1])),
                    constant_values=4)
         t = np.pad(t, ((0, Bp - B), (0, LT - t.shape[1])),

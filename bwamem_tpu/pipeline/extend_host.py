@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bwamem_tpu.config import MemOptions
+from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.finalize import AlnReg
 from bwamem_tpu.ops import extend as extops
 
@@ -139,6 +140,7 @@ class _ExtBatcher:
             self.opt.e_del, self.opt.o_ins, self.opt.e_ins, self.opt.zdrop)
         # size classes by target length (the while_loop row count)
         classes = [64, 256, max(1024, _bucket(int(tlen.max()) if M else 1))]
+        lq_fixed = _bucket(max(int(qlen.max()), 1), lo=16)
         assigned = np.zeros(M, bool)
         for tcap in classes:
             sel = (~assigned) & (tlen <= tcap)
@@ -146,9 +148,16 @@ class _ExtBatcher:
             idx = np.nonzero(sel)[0]
             if idx.size == 0:
                 continue
-            B = _bucket(idx.size, lo=8)
-            LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
-            LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
+            B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=512)
+            if _shapes._is_cpu():
+                # snug classes: padded rows/cols are real compute on CPU
+                LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
+                LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
+            else:
+                # exact class width: stable shape vocabulary (compiles are
+                # the scarce resource on the TPU backend, lanes are not)
+                LQ = lq_fixed
+                LT = tcap
 
             def pad(a, dt, fill=0):
                 o = np.full(B, fill, dt)

@@ -31,6 +31,8 @@ from bwamem_tpu.config import MemOptions
 from bwamem_tpu.ops import fm as fmops
 from bwamem_tpu.ops import smem as smemops
 from bwamem_tpu.ops import chain as chainops
+from bwamem_tpu.pipeline import _shapes
+from bwamem_tpu.pipeline import chainflt_host
 from bwamem_tpu.ops import align_ext
 
 
@@ -77,7 +79,8 @@ def _chain_worklist_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *,
         seeds, ch, l_seq, fm, ctg_offsets,
         a=a, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, w=w)
     return (ch.seed_chain, wl.seed_slot, wl.chain, wl.n, rmax0, rmax1,
-            ch.rid, ch.overflow)
+            ch.rid, ch.overflow, wt, ch.pos, ch.first_qbeg, ch.last_qbeg,
+            ch.last_len, ch.is_alt, ch.n)
 
 
 class SeedsNp(NamedTuple):
@@ -99,6 +102,14 @@ class WorklistNp(NamedTuple):
     rmax1: np.ndarray
     chain_rid: np.ndarray
     overflow: np.ndarray
+    # per-chain summaries for the host tie-order fixup (chainflt_host)
+    chain_w: np.ndarray     # [G, C] mem_chain_weight
+    chain_pos: np.ndarray   # [G, C] B-tree key (creation rbeg)
+    chain_fq: np.ndarray    # [G, C] chn_beg (first seed qbeg)
+    chain_lq: np.ndarray    # [G, C] last seed qbeg
+    chain_ll: np.ndarray    # [G, C] last seed len
+    chain_alt: np.ndarray   # [G, C] bool
+    chain_n: np.ndarray     # [G]
 
 
 def _intv2rid_np(ctg_offsets, l_pac, rb, slen):
@@ -136,7 +147,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
 
     # ---- compact device SA walk ----
     if M:
-        Mp = _bucket(M, lo=256)
+        Mp = _shapes.lanes(M, fine_lo=256, coarse_lo=1024)
         rk = np.zeros(Mp, dtype=np.asarray(al.fm.sa).dtype)
         rk[:M] = ranks
         rbeg = np.asarray(_sa_lookup_jit(al.fm, jnp.asarray(rk)))[:M]
@@ -173,7 +184,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
 
     def run_group(ridx, cap):
         G = ridx.size
-        Gp = _bucket(G, lo=8)
+        Gp = _shapes.lanes(G, fine_lo=8, coarse_lo=64)
         g_qbeg = np.zeros((Gp, cap), np.int32)
         g_rbeg = np.zeros((Gp, cap), it)
         g_len = np.zeros((Gp, cap), np.int32)
@@ -204,13 +215,18 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             min_seed_len=opt.min_seed_len, a=opt.a, o_del=opt.o_del,
             e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins)
         (seed_chain, wl_slot, wl_chain, wl_n, rmax0, rmax1, chain_rid,
-         overflow) = (np.asarray(x) for x in out)
-        return WorklistNp(
+         overflow, c_w, c_pos, c_fq, c_lq, c_ll, c_alt, c_n) = \
+            (np.asarray(x) for x in out)
+        wr = WorklistNp(
             seeds=SeedsNp(qbeg=g_qbeg, rbeg=g_rbeg, len=g_len,
                           valid=g_valid, frac_rep=g_frac),
-            seed_chain=seed_chain, wl_slot=wl_slot, wl_chain=wl_chain,
-            wl_n=wl_n, rmax0=rmax0, rmax1=rmax1, chain_rid=chain_rid,
-            overflow=overflow)
+            seed_chain=seed_chain, wl_slot=wl_slot.copy(),
+            wl_chain=wl_chain.copy(), wl_n=wl_n.copy(), rmax0=rmax0,
+            rmax1=rmax1, chain_rid=chain_rid, overflow=overflow,
+            chain_w=c_w, chain_pos=c_pos, chain_fq=c_fq, chain_lq=c_lq,
+            chain_ll=c_ll, chain_alt=c_alt, chain_n=c_n)
+        chainflt_host.fix_tied_rows(wr, opt)
+        return wr
 
     groups = []
     assigned = np.zeros(n, bool)
@@ -266,7 +282,8 @@ def _emit_np(pivot, s, end, n, cap):
 
 
 def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
-                           n: int, caps=None):
+                           n: int, caps=None, kmax0: int = 0,
+                           emax0: int = 0):
     """Returns flat per-interval arrays (read, start, end, x0, x2) sorted by
     (read, start, end) — mem_collect_intv output (bwamem.c:137-185) plus an
     overflow flag per read.
@@ -281,12 +298,27 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     l_j = jnp.asarray(l_seq)
     N, Lr = seq_np.shape
     cap = 2 * Lr
-    out = _pass1_fused_jit(
-        al.fm, seq_j, l_j, cap=cap, kmax=_bucket(N * 32, lo=1024),
-        emax=_bucket(N * 16, lo=1024), min_seed_len=opt.min_seed_len,
-        max_mem_intv=opt.max_mem_intv, p3cap=32)
-    (o_read, o_s, o_e, o_x0, o_x2, n_emit, p3x0, p3x2, p3s, p3e, p3n,
-     over) = (np.asarray(x) for x in out)
+    kmax = kmax0 or _bucket(N * 64, lo=1024)
+    emax = emax0 or _bucket(N * 32, lo=1024)
+    p3cap = 32
+    while True:
+        out = _pass1_fused_jit(
+            al.fm, seq_j, l_j, cap=cap, kmax=kmax, emax=emax,
+            min_seed_len=opt.min_seed_len,
+            max_mem_intv=opt.max_mem_intv, p3cap=p3cap)
+        (o_read, o_s, o_e, o_x0, o_x2, n_emit, p3x0, p3x2, p3s, p3e, p3n,
+         c1over, p3over, cap_over) = (np.asarray(x) for x in out)
+        # grow whichever arena overflowed and rerun: clamped-compaction
+        # output is corrupt, silently truncating seeds is not an option
+        retry = False
+        if bool(cap_over):
+            kmax, emax, retry = kmax * 2, emax * 2, True
+        if c1over.any():
+            cap, retry = cap * 2, True
+        if p3over.any():
+            p3cap, retry = p3cap * 2, True
+        if not retry:
+            break
     K = int(n_emit)
     o_read, o_s, o_e = o_read[:K], o_s[:K], o_e[:K]
     o_x0, o_x2 = o_x0[:K], o_x2[:K]
@@ -304,7 +336,7 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     c2over = np.zeros(n, bool)
     if pidx.size:
         M2 = pidx.size
-        Mp = _bucket(M2, lo=64)
+        Mp = _shapes.lanes(M2, fine_lo=64, coarse_lo=64)
         pseq = np.full((Mp, Lr), 4, np.uint8)
         pseq[:M2] = seq_np[prow]
         pl = np.zeros(Mp, np.int32)
@@ -314,16 +346,20 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
         pmin = np.ones(Mp, it)
         pmin[:M2] = o_x2[pidx] + 1
         cand2 = 48
-        c2 = _fwd_scan_jit(al.fm, jnp.asarray(pseq), jnp.asarray(pl),
-                           jnp.asarray(pstart), jnp.asarray(pmin),
-                           cap=cand2, multi_pivot=False)
-        c2 = jax.tree.map(np.asarray, c2)
+        while True:
+            c2 = _fwd_scan_jit(al.fm, jnp.asarray(pseq), jnp.asarray(pl),
+                               jnp.asarray(pstart), jnp.asarray(pmin),
+                               cap=cand2, multi_pivot=False)
+            c2 = jax.tree.map(np.asarray, c2)
+            if not c2.overflow[:M2].any():
+                break
+            cand2 *= 2
         cnt2 = c2.n[:M2]
         rows2, slots2 = np.nonzero(
             np.arange(cand2)[None, :] < cnt2[:, None])
         if rows2.size:
             M = rows2.size
-            Mp2 = _bucket(M, lo=256)
+            Mp2 = _shapes.lanes(M, fine_lo=256, coarse_lo=256)
             lr = np.zeros(Mp2, np.int32)
             pv = np.zeros(Mp2, np.int32)
             bx0 = np.zeros(Mp2, it)
@@ -376,7 +412,7 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     x2 = np.concatenate(out_x2).astype(np.int64)
     # sort by (read, start, end) — ks_introsort(mem_intv) on info
     order = np.lexsort((end, start, read_iv))
-    overflow = over[:n] | c2over
+    overflow = c2over  # all caps retried to fit; kept for interface parity
     return (read_iv[order], start[order], end[order], x0[order], x2[order],
             overflow)
 
@@ -453,6 +489,12 @@ def _pass1_fused_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len,
         p3x0, p3x2, p3s, p3e = z, z, zi, zi
         p3n = jnp.zeros((N,), i32)
         p3over = jnp.zeros((N,), bool)
-    overflow = c1.overflow | k_over | e_over
+    # overflow taxonomy, so the host can retry with the right cap doubled:
+    #   c1.overflow — per-read forward-scan candidate cap (`cap`)
+    #   p3over      — per-read pass-3 emission cap (`p3cap`)
+    #   k/e_over    — global compaction arenas (`kmax`/`emax`); past-cap
+    #                 lanes are clamped into the last slot, so the output
+    #                 is CORRUPT whenever these fire and must be retried
     return (out_read, out_s, out_e, out_x0, out_x2, n_emit,
-            p3x0, p3x2, p3s, p3e, p3n, overflow | p3over)
+            p3x0, p3x2, p3s, p3e, p3n, c1.overflow, p3over,
+            k_over | e_over)

@@ -14,6 +14,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parent.parent
+                          / ".testdata" / "jaxcache"))
+
+# The axon PJRT plugin ignores the JAX_PLATFORMS env var — it must be forced
+# through the config API before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
 

@@ -176,6 +176,42 @@ static int cmd_chains(int argc, char *argv[])
     return 0;
 }
 
+/* raw mem_chain output BEFORE mem_chain_flt, with kept labels afterwards —
+ * exposes the pre-sort traversal order and the flt tie-breaks */
+static int cmd_chains0(int argc, char *argv[])
+{
+    mem_opt_t *opt = mem_opt_init();
+    gzFile fp; kseq_t *ks; bwaidx_t *idx; int i, j;
+    if (argc < 3) { fprintf(stderr, "Usage: bwa_oracle chains0 <prefix> <fq>\n"); return 1; }
+    if ((idx = bwa_idx_load(argv[1], BWA_IDX_ALL)) == 0) return 1;
+    fp = gzopen(argv[2], "r");
+    ks = kseq_init(fp);
+    while (kseq_read(ks) >= 0) {
+        mem_chain_v chn;
+        for (i = 0; i < ks->seq.l; ++i)
+            ks->seq.s[i] = nst_nt4_table[(int)ks->seq.s[i]];
+        chn = mem_chain(opt, idx->bwt, idx->bns, ks->seq.l, (uint8_t*)ks->seq.s, 0);
+        for (i = 0; i < chn.n; ++i) {
+            mem_chain_t *p = &chn.a[i];
+            printf("%s\tpre\t%d\tpos=%ld\tw=%d\tn=%d", ks->name.s, i,
+                   (long)p->pos, mem_chain_weight(p), p->n);
+            for (j = 0; j < p->n; ++j)
+                printf("\t%ld,%d,%d", (long)p->seeds[j].rbeg, p->seeds[j].qbeg, p->seeds[j].len);
+            putchar('\n');
+        }
+        chn.n = mem_chain_flt(opt, chn.n, chn.a);
+        for (i = 0; i < chn.n; ++i) {
+            mem_chain_t *p = &chn.a[i];
+            printf("%s\tpost\t%d\tpos=%ld\tw=%d\tkept=%d\tfirst=%d\n",
+                   ks->name.s, i, (long)p->pos, (int)p->w, (int)p->kept, (int)p->first);
+            free(p->seeds);
+        }
+        free(chn.a);
+    }
+    kseq_destroy(ks); gzclose(fp); bwa_idx_destroy(idx); free(opt);
+    return 0;
+}
+
 /* raw mem_chain2aln output, BEFORE dedup/patch — oracle for the extension
  * stage in isolation */
 static int cmd_extregs(int argc, char *argv[])
@@ -414,5 +450,6 @@ int main(int argc, char *argv[])
     if (strcmp(argv[1], "regs") == 0) return cmd_regs(argc-1, argv+1);
     if (strcmp(argv[1], "extregs") == 0) return cmd_extregs(argc-1, argv+1);
     if (strcmp(argv[1], "chains") == 0) return cmd_chains(argc-1, argv+1);
+    if (strcmp(argv[1], "chains0") == 0) return cmd_chains0(argc-1, argv+1);
     return usage();
 }
