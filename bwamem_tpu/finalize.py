@@ -477,16 +477,20 @@ def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
             q[b, :len(j.qseg)] = j.qseg
             t[b, :len(j.rseq)] = j.rseq
             qlen[b], tlen[b] = len(j.qseg), len(j.rseq)
-        res = device_global(q, qlen, t, tlen,
-                            np.asarray(ws, np.int32), w_max)
+        mc = 32
+        while True:
+            res = device_global(q, qlen, t, tlen,
+                                np.asarray(ws, np.int32), w_max,
+                                max_cigar=mc)
+            overflow = np.asarray(res.overflow)
+            if not overflow.any():
+                break
+            mc *= 2          # noisy long reads: more runs than the default
         ops = np.asarray(res.ops)
         lens = np.asarray(res.lens)
         ncig = np.asarray(res.n_cigar)
         scores = np.asarray(res.score)
-        overflow = np.asarray(res.overflow)
         for b, j in enumerate(batch):
-            if overflow[b]:
-                raise RuntimeError("cigar run overflow; raise max_cigar")
             j.score = int(scores[b])
             j.cigar = [(int(ops[b, k]), int(lens[b, k]))
                        for k in range(int(ncig[b]))]

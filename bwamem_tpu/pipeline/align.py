@@ -67,6 +67,7 @@ class Aligner:
         self.ctg_offsets = jnp.asarray(idx.contig_offsets().astype(it))
         self.ctg_is_alt = jnp.asarray(idx.is_alt_flags())
         self.ctg_offsets_np = idx.contig_offsets()
+        self.ctg_lens_np = idx.contig_lens()
         self.ctg_is_alt_np = idx.is_alt_flags()
         self.ctg_names = [c.name for c in idx.contigs]
         self.ctg_annos = [c.anno for c in idx.contigs]
@@ -83,7 +84,7 @@ class Aligner:
             seed_cap=self.seed_cap, chain_cap=self.chain_cap)
         return jax.tree.map(np.asarray, wr)
 
-    def _device_global(self, q, qlen, t, tlen, w, w_max):
+    def _device_global(self, q, qlen, t, tlen, w, w_max, max_cigar=32):
         B = q.shape[0]
         Bp = _shapes.lanes(B, fine_lo=8, coarse_lo=512)
         if Bp != B:
@@ -98,7 +99,7 @@ class Aligner:
             jnp.asarray(tlen), jnp.asarray(w), self._mat,
             o_del=self.opt.o_del, e_del=self.opt.e_del,
             o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-            w_max=w_max, max_cigar=32)
+            w_max=w_max, max_cigar=max_cigar)
         return jax.tree.map(lambda a: np.asarray(a)[:B], res)
 
     def _device_ksw(self, q, qlen, t, tlen, minsc, p):
@@ -131,7 +132,8 @@ class Aligner:
         speculative extension + the tail of mem_align1_core (dedup +
         is_alt, bwamem.c:1083-1095).  Returns per-read reg lists,
         pre-mark_primary."""
-        from bwamem_tpu.pipeline import extend_host, seeding_host
+        from bwamem_tpu.pipeline import (chainflt_host, extend_host,
+                                         seeding_host)
         n = len(reads)
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
@@ -140,6 +142,9 @@ class Aligner:
         out: list[list[fin.AlnReg]] = [[] for _ in range(n)]
         for ridx, wr in groups:
             g_reads = [reads[i] for i in ridx]
+            # long-read seed re-scoring (mem_flt_chained_seeds) — no-op for
+            # short reads, see the gate in chainflt_host
+            chainflt_host.flt_chained_seeds(self, g_reads, wr)
             g_regs = extend_host.extend_regions(self, g_reads, seq[ridx],
                                                 wr)
             for gi, i in enumerate(ridx):

@@ -233,3 +233,150 @@ def fix_tied_rows(wr, opt):
             min_chain_weight=opt.min_chain_weight,
             max_chain_extend=opt.max_chain_extend)
     return rows.size
+
+
+# --------------------------------------------------------------------------
+# Long-read chained-seed re-scoring — mem_flt_chained_seeds (bwamem.c:607-625)
+# + mem_seed_sw (bwamem.c:578-605).  Runs after chain filtering; re-scores
+# short seeds of kept chains with a windowed local SW, drops weak ones, and
+# switches the mem_chain2aln work order key from seed LENGTH to seed SCORE
+# (srt = score<<32|i, bwamem.c:669-674).  No-op for short reads (the gate at
+# bwamem.c:611 fires for l_query below ~800bp at default settings).
+# --------------------------------------------------------------------------
+
+MEM_SHORT_EXT = 50      # bwamem.c:571
+MEM_SHORT_LEN = 200     # bwamem.c:572
+MEM_HSP_COEF = 1.1      # bwamem.c:574 (float in C)
+MEM_MINSC_COEF = 5.5    # bwamem.c:575
+MEM_SEEDSW_COEF = 0.05  # bwamem.c:576
+
+
+def _seed_sw_window(al, qbeg, slen, rbeg, l_query):
+    """mem_seed_sw window computation incl. bns_fetch_seq contig clamping
+    (bwamem.c:584-597, bntseq.c bns_fetch_seq).  Returns (qb, qe, rb, re)
+    or None when the seed needs no SW (len/window too long)."""
+    import math
+    l_pac = al.l_pac
+    if slen >= MEM_SHORT_LEN:
+        return None
+    qb = max(qbeg - MEM_SHORT_EXT, 0)
+    qe = min(qbeg + slen + MEM_SHORT_EXT, l_query)
+    rb = rbeg - MEM_SHORT_EXT
+    re = rbeg + slen + MEM_SHORT_EXT
+    mid = (rbeg + rbeg + slen) >> 1
+    rb = max(rb, 0)
+    re = min(re, 2 * l_pac)
+    if rb < l_pac < re:
+        if mid < l_pac:
+            re = l_pac
+        else:
+            rb = l_pac
+    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+        return None
+    # bns_fetch_seq: clamp to the contig of mid (on the strand of mid)
+    is_rev = mid >= l_pac
+    fmid = 2 * l_pac - 1 - mid if is_rev else mid
+    rid = int(np.searchsorted(al.ctg_offsets_np, fmid, side="right")) - 1
+    far_beg = int(al.ctg_offsets_np[rid])
+    far_end = far_beg + int(al.ctg_lens_np[rid])
+    if is_rev:
+        far_beg, far_end = 2 * l_pac - far_end, 2 * l_pac - far_beg
+    rb = max(rb, far_beg)
+    re = min(re, far_end)
+    return qb, qe, rb, re
+
+
+def flt_chained_seeds(al, reads, wr):
+    """Re-score + filter the seeds behind each read's worklist in place.
+
+    reads[i] corresponds to wr row i.  Mutates wr.wl_slot/wl_chain/wl_n and
+    wr.seed_chain (dropped seeds get chain -1 so seedcov ignores them)."""
+    import math
+    from bwamem_tpu.pipeline import extend_host
+    opt = al.opt
+    gated = []
+    min_hsp = {}
+    for i, r in enumerate(reads):
+        L = r.l_seq
+        if L <= 0:
+            continue
+        min_l = (MEM_HSP_COEF * opt.min_chain_weight
+                 if opt.min_chain_weight else MEM_MINSC_COEF * math.log(L))
+        if min_l > MEM_SEEDSW_COEF * L:
+            continue
+        gated.append(i)
+        min_hsp[i] = int(opt.a * min_l + .499)
+    if not gated:
+        return 0
+
+    # ---- collect SW jobs over every worklist seed of the gated reads ----
+    jobs = []                    # (i, slot, qb, qe, rb, re)
+    score = {}                   # (i, slot) -> raw mem_seed_sw score
+    for i in gated:
+        for k in range(int(wr.wl_n[i])):
+            slot = int(wr.wl_slot[i, k])
+            qbeg = int(wr.seeds.qbeg[i, slot])
+            slen = int(wr.seeds.len[i, slot])
+            rbeg = int(wr.seeds.rbeg[i, slot])
+            win = _seed_sw_window(al, qbeg, slen, rbeg, reads[i].l_seq)
+            if win is None:
+                score[(i, slot)] = -1
+            else:
+                jobs.append((i, slot) + win)
+    if jobs:
+        B = len(jobs)
+        LQ = max(j[3] - j[2] for j in jobs)
+        LT = max(j[5] - j[4] for j in jobs)
+        q = np.full((B, LQ), 4, np.uint8)
+        t = np.full((B, LT), 4, np.uint8)
+        qlen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        for b, (i, slot, qb, qe, rb, re) in enumerate(jobs):
+            q[b, : qe - qb] = reads[i].seq[qb:qe]
+            t[b, : re - rb] = extend_host.ref_base_np(
+                al.pac, al.l_pac, np.arange(rb, re, dtype=np.int64))
+            qlen[b] = qe - qb
+            tlen[b] = re - rb
+        # ksw_align2 with xtra=KSW_XSTART picks the i16 kernel (stripe 8,
+        # ksw.c:343-353); no XSUBO/XSTOP thresholds
+        res = al._device_ksw(q, qlen, t, tlen,
+                             np.full(B, 0x10000, np.int32), p=8)
+        sc = np.asarray(res.score)
+        for b, (i, slot, *_rest) in enumerate(jobs):
+            score[(i, slot)] = int(sc[b])
+
+    # ---- drop weak seeds + rebuild the work order on score ----
+    n_drop = 0
+    for i in gated:
+        c = int(wr.wl_n[i])
+        if c == 0:
+            continue
+        chain_slots = {}     # chain -> [slot asc]
+        chain_order = []
+        for k in range(c):
+            ch = int(wr.wl_chain[i, k])
+            if ch not in chain_slots:
+                chain_slots[ch] = []
+                chain_order.append(ch)
+            chain_slots[ch].append(int(wr.wl_slot[i, k]))
+        new_slots, new_chains = [], []
+        for ch in chain_order:
+            rem = []
+            for slot in sorted(chain_slots[ch]):   # insertion (i) order
+                x = score[(i, slot)]
+                if 0 <= x < min_hsp[i]:
+                    wr.seed_chain[i, slot] = -1    # excluded from seedcov
+                    n_drop += 1
+                    continue
+                fin = int(wr.seeds.len[i, slot]) * opt.a if x < 0 else x
+                rem.append((slot, fin))
+            order = sorted(range(len(rem)),
+                           key=lambda k2: (rem[k2][1], k2), reverse=True)
+            for k2 in order:
+                new_slots.append(rem[k2][0])
+                new_chains.append(ch)
+        wr.wl_slot[i, : len(new_slots)] = new_slots
+        wr.wl_chain[i, : len(new_chains)] = new_chains
+        wr.wl_chain[i, len(new_chains):] = -1
+        wr.wl_n[i] = len(new_slots)
+    return n_drop

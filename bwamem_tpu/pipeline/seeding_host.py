@@ -220,7 +220,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
         wr = WorklistNp(
             seeds=SeedsNp(qbeg=g_qbeg, rbeg=g_rbeg, len=g_len,
                           valid=g_valid, frac_rep=g_frac),
-            seed_chain=seed_chain, wl_slot=wl_slot.copy(),
+            seed_chain=seed_chain.copy(), wl_slot=wl_slot.copy(),
             wl_chain=wl_chain.copy(), wl_n=wl_n.copy(), rmax0=rmax0,
             rmax1=rmax1, chain_rid=chain_rid, overflow=overflow,
             chain_w=c_w, chain_pos=c_pos, chain_fq=c_fq, chain_lq=c_lq,
