@@ -143,6 +143,12 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
     n = len(t)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    try:
+        from bwamem_tpu.index import native
+        if native.available():
+            return native.suffix_array_sais(np.ascontiguousarray(t, np.uint8))
+    except Exception:
+        pass  # no compiler / load failure: NumPy path below
     rank = t.astype(np.int64)
     k = 1
     tmp = np.full(n, -1, dtype=np.int64)

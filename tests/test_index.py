@@ -72,3 +72,29 @@ def test_kmer_table_counts(built):
         rc = rc * 4 + (3 - d % 4)
         d //= 4
     np.testing.assert_array_equal(size, size[rc])
+
+
+def test_sais_matches_prefix_doubling():
+    """Native SA-IS must agree with the NumPy prefix-doubling builder
+    (both under the implicit smallest-sentinel contract)."""
+    import numpy as np
+    from bwamem_tpu.index import native
+    from bwamem_tpu.index import build as bld
+    if not native.available():
+        import pytest
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 7, 200, 1000):
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        want = sorted(range(n), key=lambda i: list(map(int, t[i:])) + [-1])
+        assert list(native.suffix_array_sais(t)) == want
+    # repetitive text (hard case for naive sorts)
+    t = np.tile(np.array([0, 1, 0, 1, 2], np.uint8), 8000)
+    a = native.suffix_array_sais(t)
+    # verify suffix order pairwise on a sample
+    idx = rng.integers(0, len(t) - 1, 200)
+    for k in idx:
+        i, j = int(a[k]), int(a[k + 1])
+        ti = list(map(int, t[i:])) + [-1]
+        tj = list(map(int, t[j:])) + [-1]
+        assert ti < tj
