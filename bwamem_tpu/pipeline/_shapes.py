@@ -36,3 +36,20 @@ def lanes(x: int, *, fine_lo: int, coarse_lo: int) -> int:
     if _is_cpu():
         return pow2_bucket(x, fine_lo)
     return pow4_bucket(x, coarse_lo)
+
+
+# XLA compile time for the while/fori-loop programs scales with the loop
+# STATE size (lanes × columns), and this backend has no persistent
+# executable cache — so giant-lane programs cost minutes of compile per
+# process.  Device dispatches are tiled to a fixed lane budget instead:
+# compile cost is bounded by the tile, extra dispatches are ~tens of ms.
+LANE_TILE = 2048
+
+
+def chunks(n: int, tile: int = LANE_TILE):
+    """Yield (start, size) covering range(n) in tiles of at most `tile`."""
+    s = 0
+    while s < n:
+        c = min(tile, n - s)
+        yield s, c
+        s += c

@@ -86,21 +86,27 @@ class Aligner:
 
     def _device_global(self, q, qlen, t, tlen, w, w_max, max_cigar=32):
         B = q.shape[0]
-        Bp = _shapes.lanes(B, fine_lo=8, coarse_lo=512)
-        if Bp != B:
-            pad = Bp - B
-            q = np.pad(q, ((0, pad), (0, 0)), constant_values=4)
-            t = np.pad(t, ((0, pad), (0, 0)), constant_values=4)
-            qlen = np.pad(qlen, (0, pad), constant_values=1)
-            tlen = np.pad(tlen, (0, pad), constant_values=1)
-            w = np.pad(w, (0, pad), constant_values=3)
-        res = global_sw.global_align_batch(
-            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen), jnp.asarray(w), self._mat,
-            o_del=self.opt.o_del, e_del=self.opt.e_del,
-            o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-            w_max=w_max, max_cigar=max_cigar)
-        return jax.tree.map(lambda a: np.asarray(a)[:B], res)
+        outs = []
+        for s0, c in _shapes.chunks(B):    # fixed lane tiles: bounded compile
+            Bp = _shapes.lanes(c, fine_lo=8, coarse_lo=512)
+            sl = slice(s0, s0 + c)
+            pad = Bp - c
+            qc = np.pad(q[sl], ((0, pad), (0, 0)), constant_values=4)
+            tc = np.pad(t[sl], ((0, pad), (0, 0)), constant_values=4)
+            res = global_sw.global_align_batch(
+                jnp.asarray(qc), jnp.asarray(np.pad(qlen[sl], (0, pad),
+                                                    constant_values=1)),
+                jnp.asarray(tc), jnp.asarray(np.pad(tlen[sl], (0, pad),
+                                                    constant_values=1)),
+                jnp.asarray(np.pad(w[sl], (0, pad), constant_values=3)),
+                self._mat,
+                o_del=self.opt.o_del, e_del=self.opt.e_del,
+                o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                w_max=w_max, max_cigar=max_cigar)
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
 
     def _device_ksw(self, q, qlen, t, tlen, minsc, p):
         """p = SIMD stripe of the emulated ksw kernel: 16 when every lane
@@ -109,21 +115,30 @@ class Aligner:
         B = q.shape[0]
         LQ = _bucket(-(-q.shape[1] // p) * p, lo=32)
         LT = _bucket(t.shape[1], lo=64)
-        Bp = _shapes.lanes(B, fine_lo=8, coarse_lo=64)
-        q = np.pad(q, ((0, Bp - B), (0, LQ - q.shape[1])),
-                   constant_values=4)
-        t = np.pad(t, ((0, Bp - B), (0, LT - t.shape[1])),
-                   constant_values=4)
-        qlen = np.pad(qlen, (0, Bp - B), constant_values=0)
-        tlen = np.pad(tlen, (0, Bp - B), constant_values=0)
-        minsc = np.pad(minsc, (0, Bp - B), constant_values=1)
-        res = local_sw.ksw_align_batch(
-            jnp.asarray(q), jnp.asarray(qlen), jnp.asarray(t),
-            jnp.asarray(tlen), jnp.asarray(minsc), self._mat,
-            o_del=self.opt.o_del, e_del=self.opt.e_del,
-            o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-            max_mat=int(self.opt.a), p=p)
-        return jax.tree.map(lambda a: np.asarray(a)[:B], res)
+        outs = []
+        for s0, c in _shapes.chunks(B):    # fixed lane tiles: bounded compile
+            Bp = _shapes.lanes(c, fine_lo=8, coarse_lo=64)
+            sl = slice(s0, s0 + c)
+            qc = np.pad(q[sl], ((0, Bp - c), (0, LQ - q.shape[1])),
+                        constant_values=4)
+            tc = np.pad(t[sl], ((0, Bp - c), (0, LT - t.shape[1])),
+                        constant_values=4)
+            res = local_sw.ksw_align_batch(
+                jnp.asarray(qc),
+                jnp.asarray(np.pad(qlen[sl], (0, Bp - c),
+                                   constant_values=0)),
+                jnp.asarray(tc),
+                jnp.asarray(np.pad(tlen[sl], (0, Bp - c),
+                                   constant_values=0)),
+                jnp.asarray(np.pad(minsc[sl], (0, Bp - c),
+                                   constant_values=1)), self._mat,
+                o_del=self.opt.o_del, e_del=self.opt.e_del,
+                o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                max_mat=int(self.opt.a), p=p)
+            outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
 
     # ------------------------------------------------ shared host phases
 

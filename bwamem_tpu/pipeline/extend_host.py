@@ -145,36 +145,43 @@ class _ExtBatcher:
         for tcap in classes:
             sel = (~assigned) & (tlen <= tcap)
             assigned |= sel
-            idx = np.nonzero(sel)[0]
-            if idx.size == 0:
+            cls_idx = np.nonzero(sel)[0]
+            if cls_idx.size == 0:
                 continue
-            B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=512)
             if _shapes._is_cpu():
                 # snug classes: padded rows/cols are real compute on CPU
-                LQ = _bucket(max(int(qlen[idx].max()), 1), lo=16)
-                LT = _bucket(max(min(tcap, int(tlen[idx].max())), 1), lo=16)
+                LQ = _bucket(max(int(qlen[cls_idx].max()), 1), lo=16)
+                LT = _bucket(max(min(tcap, int(tlen[cls_idx].max())), 1),
+                             lo=16)
             else:
                 # exact class width: stable shape vocabulary (compiles are
                 # the scarce resource on the TPU backend, lanes are not)
                 LQ = lq_fixed
                 LT = tcap
 
-            def pad(a, dt, fill=0):
-                o = np.full(B, fill, dt)
-                o[: idx.size] = a[idx]
-                return jnp.asarray(o)
+            # fixed lane tiles: bounds compile cost per program (see
+            # _shapes.LANE_TILE) — one giant-lane program costs minutes of
+            # uncacheable compile, tiles cost extra ~ms dispatches
+            for s0, c in _shapes.chunks(cls_idx.size):
+                idx = cls_idx[s0:s0 + c]
+                B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=512)
 
-            res = fn(self.pac_dev, self.l_pac, self.seq_dev,
-                     pad(lane_read, np.int32),
-                     pad(q_start, np.int64), pad(q_sign, np.int64, 1),
-                     pad(qlen, np.int32),
-                     pad(t_start, np.int64), pad(t_sign, np.int64, 1),
-                     pad(tlen, np.int32), pad(h0, np.int32, 1),
-                     pad(w, np.int32, self.opt.w),
-                     jnp.full((B,), self.end_bonus, jnp.int32),
-                     lq_max=LQ, t_max=LT)
-            for k in out:
-                out[k][idx] = np.asarray(getattr(res, k))[: idx.size]
+                def pad(a, dt, fill=0):
+                    o = np.full(B, fill, dt)
+                    o[: idx.size] = a[idx]
+                    return jnp.asarray(o)
+
+                res = fn(self.pac_dev, self.l_pac, self.seq_dev,
+                         pad(lane_read, np.int32),
+                         pad(q_start, np.int64), pad(q_sign, np.int64, 1),
+                         pad(qlen, np.int32),
+                         pad(t_start, np.int64), pad(t_sign, np.int64, 1),
+                         pad(tlen, np.int32), pad(h0, np.int32, 1),
+                         pad(w, np.int32, self.opt.w),
+                         jnp.full((B,), self.end_bonus, jnp.int32),
+                         lq_max=LQ, t_max=LT)
+                for k in out:
+                    out[k][idx] = np.asarray(getattr(res, k))[: idx.size]
         return out
 
 

@@ -228,19 +228,25 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
         chainflt_host.fix_tied_rows(wr, opt)
         return wr
 
+    def g_tile(cap):
+        # bound compile cost: loop-state size ~ G×cap (see _shapes.LANE_TILE)
+        return max(128, 131072 // cap)
+
     groups = []
     assigned = np.zeros(n, bool)
     for cap in group_caps:
         sel = (~assigned) & (seed_cnt <= cap) & (seed_cnt > 0)
         assigned |= sel
         ridx = np.nonzero(sel)[0]
-        if ridx.size:
-            groups.append((ridx, run_group(ridx, cap)))
+        for s0, c in _shapes.chunks(ridx.size, tile=g_tile(cap)):
+            sub = ridx[s0:s0 + c]
+            groups.append((sub, run_group(sub, cap)))
     # reads beyond the largest cap: truncated to the first `cap` seeds
     # (slot order == insertion order); flagged for the host fallback
     rest = np.nonzero((~assigned) & (seed_cnt > 0))[0]
-    if rest.size:
-        groups.append((rest, run_group(rest, group_caps[-1])))
+    for s0, c in _shapes.chunks(rest.size, tile=g_tile(group_caps[-1])):
+        sub = rest[s0:s0 + c]
+        groups.append((sub, run_group(sub, group_caps[-1])))
     return groups
 
 
