@@ -304,8 +304,14 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     l_j = jnp.asarray(l_seq)
     N, Lr = seq_np.shape
     cap = 2 * Lr
-    kmax = kmax0 or _bucket(N * 64, lo=1024)
-    emax = emax0 or _bucket(N * 32, lo=1024)
+    # every in-program gather pays ~ns per ARENA row (padding included), so
+    # the arenas start at the size this Aligner last needed (typical reads
+    # need ~10-30 candidates each) and grow via the retry loop below
+    hist = getattr(al, "_seed_arena_hist", None)
+    if hist is None:
+        hist = al._seed_arena_hist = {}
+    kmax = kmax0 or hist.get(("k", N)) or _bucket(N * 16, lo=1024)
+    emax = emax0 or hist.get(("e", N)) or _bucket(N * 8, lo=1024)
     p3cap = 32
     while True:
         out = _pass1_fused_jit(
@@ -325,6 +331,9 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
             p3cap, retry = p3cap * 2, True
         if not retry:
             break
+    if kmax0 == 0:
+        hist[("k", N)] = kmax
+        hist[("e", N)] = emax
     K = int(n_emit)
     o_read, o_s, o_e = o_read[:K], o_s[:K], o_e[:K]
     o_x0, o_x2 = o_x0[:K], o_x2[:K]
