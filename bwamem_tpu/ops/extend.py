@@ -66,6 +66,9 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     B, LQ = query.shape
     L1 = LQ + 1
     i32 = jnp.int32
+    # (h << 12) | col packing in the row reduction needs col < 2^12 and
+    # score < 2^18; reads beyond 4kb would need a wider encoding
+    assert LQ <= 4096, "extend_batch: query window > 4096 not supported"
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     max_mat = int(np.max(np.asarray(mat)))
@@ -130,10 +133,17 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         h1_init = jnp.where(beg == 0,
                             jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0)
 
-        # row max and its LAST attaining column (ksw.c:437-438)
-        m = h.max(axis=1)
-        mj = jnp.where(h == m[:, None], col, -1).max(axis=1)
-        mj = jnp.where(m > 0, mj, jnp.where(end > beg, end - 1, -1))
+        # ONE packed reduction for (row max + its LAST attaining column) and
+        # (h at column end-1): every standalone reduce/gather is a fusion
+        # barrier with a large flat per-iteration cost on this backend, and
+        # the per-lane h[end-1] gather was the single hottest op of the loop
+        mj_enc = (h << 12) | col                       # h < 2^18, col < 2^12
+        h1_enc = jnp.where(col == (end - 1)[:, None], h, NEG)
+        packed = jnp.stack([mj_enc, h1_enc], axis=1)   # [B, 2, LQ]
+        red = packed.max(axis=2)                       # [B, 2]
+        m = red[:, 0] >> 12
+        mj = jnp.where(m > 0, red[:, 0] & 0xFFF,
+                       jnp.where(end > beg, end - 1, -1))
 
         # E update (ksw.c:439-443)
         e_new = jnp.maximum(E - e_del, jnp.maximum(Mq - oe_del, 0))
@@ -150,8 +160,7 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         eh_e2 = jnp.where((jj == end[:, None]) & act[:, None], 0, eh_e2)
 
         # gscore at the last query column (ksw.c:450-453)
-        h1_last = jnp.where(end > beg, h[jnp.arange(B), jnp.maximum(end - 1, 0)],
-                            h1_init)
+        h1_last = jnp.where(end > beg, red[:, 1], h1_init)
         reach = act & (end == qlen)
         upd_g = reach & (st["gscore"] <= h1_last)
         max_ie2 = jnp.where(reach & (st["gscore"] > h1_last), st["max_ie"],
@@ -175,13 +184,19 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
                        st["mx"] - m - (dj - di) * e_ins > zdrop)
         brk1 = act & ~brk0 & ~better & (zdrop > 0) & zd
 
-        # window shrink (ksw.c:466-469) on the NEW eh values
+        # window shrink (ksw.c:466-469) on the NEW eh values; both scans in
+        # one packed reduction (no nz column exists in [beg, first_nz), so
+        # the last-nz mask can start at beg instead of the serial beg2)
         nz = (eh_h2 != 0) | (eh_e2 != 0)
         inwin = (jj >= beg[:, None]) & (jj < end[:, None])
-        first_nz = jnp.where(inwin & nz, jj, L1).min(axis=1)
+        BIGJ = jnp.int32(1 << 20)
+        fst_enc = jnp.where(inwin & nz, BIGJ - jj, -1)
+        lst_enc = jnp.where((jj >= beg[:, None]) & (jj <= end[:, None]) & nz,
+                            jj, -1)
+        red2 = jnp.stack([fst_enc, lst_enc], axis=1).max(axis=2)  # [B, 2]
+        first_nz = jnp.where(red2[:, 0] < 0, L1, BIGJ - red2[:, 0])
         beg2 = jnp.minimum(first_nz, end)
-        upto = (jj >= beg2[:, None]) & (jj <= end[:, None])
-        last_nz = jnp.where(upto & nz, jj, -1).max(axis=1)
+        last_nz = red2[:, 1]
         end2 = jnp.minimum(last_nz + 2, qlen.astype(i32))
 
         done2 = st["done"] | brk0 | brk1 | (i + 1 >= tlen)

@@ -64,8 +64,11 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
             seqbatch[lane_read[:, None],
                      jnp.clip(qidx, 0, L - 1).astype(i32)],
             4).astype(jnp.uint8)
-        ti = jnp.arange(t_max, dtype=jnp.int64)[None, :]
-        pos = jnp.clip(t_start[:, None] + t_sign[:, None] * ti,
+        # target laid out [t_max, B]: the per-row access in the DP loop is
+        # then a CONTIGUOUS row slice (a [B, t_max] column slice was a
+        # strided per-row op that dominated the loop)
+        ti = jnp.arange(t_max, dtype=jnp.int64)[:, None]
+        pos = jnp.clip(t_start[None, :] + t_sign[None, :] * ti,
                        0, 2 * l_pac - 1)
         is_rev = pos >= l_pac
         fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
@@ -75,13 +78,13 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
         b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
             jnp.uint32))) & 3
         b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
-        target = jnp.where(ti < tlen[:, None], b, 4).astype(jnp.uint8)
+        targetT = jnp.where(ti < tlen[None, :], b, 4).astype(jnp.uint8)
 
         def target_at(i):
-            # scalar row index → column slice (no per-lane gather); rows
-            # past a lane's tlen read padding, which extend_batch masks
+            # scalar row index → contiguous row slice; rows past a lane's
+            # tlen read padding, which extend_batch masks
             return jax.lax.dynamic_index_in_dim(
-                target, jnp.minimum(i, t_max - 1), axis=1,
+                targetT, jnp.minimum(i, t_max - 1), axis=0,
                 keepdims=False).astype(i32)
 
         return extops.extend_batch(query, qlen, target_at, tlen, h0, w,
