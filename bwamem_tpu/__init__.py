@@ -12,9 +12,17 @@ human-scale genomes (2*l_pac > 2^32) requires int64 (reference: bwtint_t is
 uint64_t, bwt.h:46).  Small-genome indexes use int32 device arrays for speed;
 dtypes are always explicit throughout the package.
 """
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# The axon TPU PJRT plugin ignores the JAX_PLATFORMS environment variable;
+# honor it here through the config API so `JAX_PLATFORMS=cpu python -m
+# bwamem_tpu.cli ...` (and any other entry point) really runs on the CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 __version__ = "0.1.0"
 

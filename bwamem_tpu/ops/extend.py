@@ -14,9 +14,9 @@ max_off tracking — but reorganized for the TPU VPU:
   * per-lane scalars (beg, end, max, max_i/j, gscore, zdrop-done) ride in
     the fori_loop carry; finished lanes are masked, not retired.
 
-The same kernel body is reused by the Pallas implementation in
-ops/pallas/sw.py; this module is the reference-parity implementation and
-the fallback for CPU execution.
+ops/pallas_ext.py is the same algorithm as a Mosaic kernel (query-major
+layout); this module is the reference-parity implementation and the
+fallback for CPU execution.
 """
 from __future__ import annotations
 

@@ -277,11 +277,20 @@ def mem_pair(opt: MemOptions, l_pac: int, ctg_offsets: np.ndarray,
                     break
                 if dist < pes[dir_].low:
                     continue
-                ns = (dist - pes[dir_].avg) / pes[dir_].std
-                q = int((v[i][1] >> 32) + (v[k][1] >> 32)
-                        + .721 * math.log(2. * math.erfc(abs(ns) * M_SQRT1_2))
-                        * opt.a + .499)
-                q = max(q, 0)
+                if pes[dir_].std > 0:
+                    ns = (dist - pes[dir_].avg) / pes[dir_].std
+                    q = int((v[i][1] >> 32) + (v[k][1] >> 32)
+                            + .721 * math.log(2. * math.erfc(abs(ns)
+                                                             * M_SQRT1_2))
+                            * opt.a + .499)
+                    q = max(q, 0)
+                else:
+                    # std == 0 (constant-insert data): the C reference
+                    # divides by 0.0 → NaN/±inf propagates through
+                    # erfc/log and the (int) conversion yields INT_MIN,
+                    # which the q>0?q:0 clamp turns into 0
+                    # (bwamem_pair.c:246-248)
+                    q = 0
                 yk = (k << 32) | i
                 u.append(((q << 32) | (hash_64((yk ^ (id_ << 8))
                                                & ((1 << 64) - 1))

@@ -45,6 +45,12 @@ def lanes(x: int, *, fine_lo: int, coarse_lo: int) -> int:
 # compile cost is bounded by the tile, extra dispatches are ~tens of ms.
 LANE_TILE = 2048
 
+# The Pallas extension kernel compiles in ~1 s per shape (vs minutes for
+# the XLA while-loop program), and on the tunneled backend every dispatch
+# pays a ~25 ms D2H round-trip — so Pallas dispatches use much larger lane
+# tiles to amortize the per-fetch floor.
+PL_LANE_TILE = 8192
+
 
 def chunks(n: int, tile: int = LANE_TILE):
     """Yield (start, size) covering range(n) in tiles of at most `tile`."""

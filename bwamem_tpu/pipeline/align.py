@@ -150,6 +150,13 @@ class Aligner:
         from bwamem_tpu.pipeline import (chainflt_host, extend_host,
                                          seeding_host)
         n = len(reads)
+        for r in reads:
+            if r.l_seq > 4096:
+                # extension windows are full read prefixes/suffixes and the
+                # packed row reduction caps scores at 2^18 (ops/extend.py)
+                raise ValueError(
+                    f"read {r.name!r} is {r.l_seq}bp; reads over 4096bp "
+                    "are not supported by the extension kernel")
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)

@@ -87,10 +87,59 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
                 targetT, jnp.minimum(i, t_max - 1), axis=0,
                 keepdims=False).astype(i32)
 
-        return extops.extend_batch(query, qlen, target_at, tlen, h0, w,
-                                   end_bonus, mat, o_del=o_del, e_del=e_del,
-                                   o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
-                                   t_max=t_max)
+        r = extops.extend_batch(query, qlen, target_at, tlen, h0, w,
+                                end_bonus, mat, o_del=o_del, e_del=e_del,
+                                o_ins=o_ins, e_ins=e_ins, zdrop=zdrop,
+                                t_max=t_max)
+        # ONE stacked output array → one D2H fetch per dispatch (the
+        # tunneled backend charges a ~25 ms round-trip PER fetched array)
+        return jnp.stack(list(r))
+
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _extend_flat_fn_pl(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
+                       e_ins: int, zdrop: int):
+    """TPU path: same on-device query/target construction as
+    _extend_flat_fn, but the DP loop runs as the Mosaic kernel
+    (ops/pallas_ext.extend_batch_pl — cf. the warp-wavefront
+    ksw_extend_warp, reference cuda/ksw_CUDA.cu:426-541).  The query and
+    target blocks are MATERIALIZED [L, B] arrays here: under XLA the
+    per-row target slice re-fused the pac gather into every loop
+    iteration, which multiplied its cost by the row count."""
+
+    @functools.partial(jax.jit, static_argnames=("lq_max", "t_max"))
+    def fn(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
+           t_start, t_sign, tlen, h0, w, end_bonus, *, lq_max, t_max):
+        from bwamem_tpu.ops import pallas_ext
+        i32 = jnp.int32
+        B = lane_read.shape[0]
+        L = seqbatch.shape[1]
+        j = jnp.arange(lq_max, dtype=jnp.int64)[:, None]       # [LQ, 1]
+        qidx = q_start[None, :] + q_sign[None, :] * j
+        qT = jnp.where(
+            j < qlen[None, :],
+            seqbatch[lane_read[None, :],
+                     jnp.clip(qidx, 0, L - 1).astype(i32)].astype(i32),
+            4)
+        ti = jnp.arange(t_max, dtype=jnp.int64)[:, None]
+        pos = jnp.clip(t_start[None, :] + t_sign[None, :] * ti,
+                       0, 2 * l_pac - 1)
+        is_rev = pos >= l_pac
+        fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
+        word = pac[(fpos >> 4).astype(i32)]
+        byte = (word >> (((fpos.astype(i32) & 15) >> 2) << 3).astype(
+            jnp.uint32)) & 0xFF
+        b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
+            jnp.uint32))) & 3
+        b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
+        tT = jnp.where(ti < tlen[None, :], b, 4).astype(i32)
+        r = pallas_ext.extend_batch_pl(
+            qT, qlen, tT, tlen, h0, w, end_bonus, lq_max=lq_max,
+            t_max=t_max, mat_bytes=mat_bytes, o_del=o_del, e_del=e_del,
+            o_ins=o_ins, e_ins=e_ins, zdrop=zdrop)
+        return jnp.stack(list(r))
 
     return fn
 
@@ -130,17 +179,32 @@ class _ExtBatcher:
         self.l_pac = l_pac
         self.seq_dev = seq_dev
 
-    def run(self, lane_read, q_start, q_sign, qlen, t_start, t_sign, tlen,
-            h0, w):
-        """All arrays [M]; returns dict of result arrays [M]."""
+    FIELDS = ("score", "qle", "tle", "gtle", "gscore", "max_off")
+
+    def submit(self, lane_read, q_start, q_sign, qlen, t_start, t_sign,
+               tlen, h0, w):
+        """Enqueue all device dispatches for these lanes WITHOUT fetching.
+        Returns an opaque plan for drain(); dispatches of several submits
+        overlap, so their D2H round-trips amortize."""
         M = len(qlen)
-        out = {k: np.zeros(M, np.int32)
-               for k in ("score", "qle", "tle", "gtle", "gscore", "max_off")}
+        plan = {"M": M, "parts": []}
         if M == 0:
-            return out
-        fn = _extend_flat_fn(
+            return plan
+        use_pl = not _shapes._is_cpu()
+        make = _extend_flat_fn_pl if use_pl else _extend_flat_fn
+        fn = make(
             np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
             self.opt.e_del, self.opt.o_ins, self.opt.e_ins, self.opt.zdrop)
+        # the (h << 12) | col row-reduction packing in extend_batch needs
+        # every reachable score < 2^18; enforce with the concrete inputs
+        # instead of trusting the LQ <= 4096 shape assert alone
+        max_mat = int(np.max(np.asarray(self.mat)))
+        hi = int(h0.max()) if M else 0
+        if hi + int(qlen.max() if M else 0) * max_mat >= (1 << 18):
+            raise ValueError(
+                "extension score bound exceeded: h0_max=%d + LQ*max_mat=%d "
+                ">= 2^18; lower -A or split the read" %
+                (hi, int(qlen.max()) * max_mat))
         # size classes by target length (the while_loop row count)
         classes = [64, 256, max(1024, _bucket(int(tlen.max()) if M else 1))]
         lq_fixed = _bucket(max(int(qlen.max()), 1), lo=16)
@@ -156,16 +220,16 @@ class _ExtBatcher:
                 LQ = _bucket(max(int(qlen[cls_idx].max()), 1), lo=16)
                 LT = _bucket(max(min(tcap, int(tlen[cls_idx].max())), 1),
                              lo=16)
+                tile = _shapes.LANE_TILE
             else:
-                # exact class width: stable shape vocabulary (compiles are
-                # the scarce resource on the TPU backend, lanes are not)
+                # exact class width: stable shape vocabulary; big lane
+                # tiles (Mosaic compiles in ~1 s/shape, and every extra
+                # dispatch pays the tunnel's per-fetch round-trip)
                 LQ = lq_fixed
                 LT = tcap
+                tile = _shapes.PL_LANE_TILE
 
-            # fixed lane tiles: bounds compile cost per program (see
-            # _shapes.LANE_TILE) — one giant-lane program costs minutes of
-            # uncacheable compile, tiles cost extra ~ms dispatches
-            for s0, c in _shapes.chunks(cls_idx.size):
+            for s0, c in _shapes.chunks(cls_idx.size, tile):
                 idx = cls_idx[s0:s0 + c]
                 B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=512)
 
@@ -182,10 +246,30 @@ class _ExtBatcher:
                          pad(tlen, np.int32), pad(h0, np.int32, 1),
                          pad(w, np.int32, self.opt.w),
                          jnp.full((B,), self.end_bonus, jnp.int32),
-                         lq_max=LQ, t_max=LT)
-                for k in out:
-                    out[k][idx] = np.asarray(getattr(res, k))[: idx.size]
+                         lq_max=LQ, t_max=LT)      # [6, B] stacked
+                try:
+                    res.copy_to_host_async()
+                except Exception:
+                    pass
+                plan["parts"].append((idx, res))
+        return plan
+
+    @staticmethod
+    def drain(plan):
+        """Fetch all results of a submit() plan → dict of [M] arrays."""
+        M = plan["M"]
+        out = {k: np.zeros(M, np.int32) for k in _ExtBatcher.FIELDS}
+        for idx, res in plan["parts"]:
+            arr = np.asarray(res)          # one fetch per dispatch
+            for fi, k in enumerate(_ExtBatcher.FIELDS):
+                out[k][idx] = arr[fi, : idx.size]
         return out
+
+    def run(self, lane_read, q_start, q_sign, qlen, t_start, t_sign, tlen,
+            h0, w):
+        """All arrays [M]; returns dict of result arrays [M]."""
+        return self.drain(self.submit(lane_read, q_start, q_sign, qlen,
+                                      t_start, t_sign, tlen, h0, w))
 
 
 def _extend_side(batcher, opt, lane_read, q_start, q_sign, qlen, t_start,
@@ -197,6 +281,10 @@ def _extend_side(batcher, opt, lane_read, q_start, q_sign, qlen, t_start,
     r1 = batcher.run(lane_read, q_start, q_sign, qlen, t_start, t_sign,
                      tlen, h0, w1)
     retry = r1["max_off"] >= ((opt.w >> 1) + (opt.w >> 2))
+    # reference break: `if (a->score == prev) break` (bwamem.c:735,741) —
+    # prev is the score entering the pass (h0: seed score on the left,
+    # left-extension score on the right)
+    retry &= r1["score"] != h0
     retry &= qlen > 0
     aw = np.where(retry, opt.w * 2, opt.w).astype(np.int32)
     idx = np.nonzero(retry)[0]
