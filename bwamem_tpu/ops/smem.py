@@ -67,23 +67,32 @@ class Candidates(NamedTuple):
 
 def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                  start: jax.Array, min_intv: jax.Array, cap: int,
-                 multi_pivot: bool) -> Candidates:
+                 multi_pivot: bool, lane_read: jax.Array = None
+                 ) -> Candidates:
     """Phase A.  seq: [N, L] nt4 codes (pad with 4); start: [N] first pivot
     (or the single pivot when multi_pivot=False); min_intv: [N].
+
+    When `lane_read` is given, the scan runs over M = start.shape[0]
+    compacted lanes, each reading row lane_read[m] of seq (l_seq then must
+    already be gathered per lane) — used by the fused pass-2 re-seeding,
+    which scans only qualifying parent lanes.
 
     Candidate semantics match the forward loop of bwt_smem1a (bwt.c:304-321):
     push the previous interval on every size change / ambiguous base / read
     end; stop the pivot when the extended size < min_intv; next pivot = end
     of the longest match (the value bwt_smem1a returns).
     """
-    N, L = seq.shape
+    L = seq.shape[1]
+    N = start.shape[0] if lane_read is not None else seq.shape[0]
     it = fm.L2.dtype
-    rows = jnp.arange(N, dtype=jnp.int32)
+    rows = jnp.arange(N, dtype=jnp.int32)          # lane index (scatters)
+    rows_seq = (lane_read.astype(jnp.int32) if lane_read is not None
+                else rows)                          # seq row per lane
 
     def seq_at(pos):
         p = jnp.clip(pos, 0, L - 1)
         return jnp.where((pos >= 0) & (pos < l_seq),
-                         seq[rows, p].astype(jnp.int32), 4)
+                         seq[rows_seq, p].astype(jnp.int32), 4)
 
     zero_i = jnp.zeros((N,), jnp.int32)
     zero_t = jnp.zeros((N,), it)

@@ -78,9 +78,20 @@ def _chain_worklist_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *,
     rmax0, rmax1 = align_ext.chain_rmax(
         seeds, ch, l_seq, fm, ctg_offsets,
         a=a, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, w=w)
-    return (ch.seed_chain, wl.seed_slot, wl.chain, wl.n, rmax0, rmax1,
-            ch.rid, ch.overflow, wt, ch.pos, ch.first_qbeg, ch.last_qbeg,
-            ch.last_len, ch.is_alt, ch.n)
+    # TWO stacked outputs (one when the index is int32): every separately
+    # fetched array pays the backend's ~25 ms D2H round trip
+    i32 = jnp.int32
+    G, C = ch.pos.shape
+    vec_grid = jnp.zeros((G, C), i32).at[:, :3].set(
+        jnp.stack([wl.n.astype(i32), ch.n.astype(i32),
+                   ch.overflow.astype(i32)], axis=1))
+    g_i32 = jnp.stack([ch.seed_chain, wl.seed_slot, wl.chain, ch.rid, wt,
+                       ch.first_qbeg, ch.last_qbeg, ch.last_len,
+                       ch.is_alt.astype(i32), vec_grid])
+    g_it = jnp.stack([rmax0, rmax1, ch.pos])
+    if g_it.dtype == jnp.int32:
+        return jnp.concatenate([g_i32, g_it], axis=0), None
+    return g_i32, g_it
 
 
 class SeedsNp(NamedTuple):
@@ -182,7 +193,10 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     order = np.argsort(read_of, kind="stable")
     starts = np.concatenate([[0], np.cumsum(seed_cnt)])
 
-    def run_group(ridx, cap):
+    def submit_group(ridx, cap):
+        """Build the group's packed seed arrays and ENQUEUE the chaining
+        dispatch; the fetch is deferred to drain_group so the D2H round
+        trips of all group tiles overlap."""
         G = ridx.size
         Gp = _shapes.lanes(G, fine_lo=8, coarse_lo=64)
         g_qbeg = np.zeros((Gp, cap), np.int32)
@@ -206,7 +220,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             len=jnp.asarray(g_len), rid=jnp.asarray(g_rid),
             valid=jnp.asarray(g_valid), frac_rep=jnp.asarray(g_frac),
             overflow=jnp.zeros(Gp, bool))
-        out = _chain_worklist_jit(
+        res = _chain_worklist_jit(
             al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, jnp.asarray(g_l),
             w=opt.w, max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
@@ -214,17 +228,31 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             max_chain_extend=opt.max_chain_extend,
             min_seed_len=opt.min_seed_len, a=opt.a, o_del=opt.o_del,
             e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins)
-        (seed_chain, wl_slot, wl_chain, wl_n, rmax0, rmax1, chain_rid,
-         overflow, c_w, c_pos, c_fq, c_lq, c_ll, c_alt, c_n) = \
-            (np.asarray(x) for x in out)
+        for r in res:
+            if r is not None:
+                try:
+                    r.copy_to_host_async()
+                except Exception:
+                    pass
+        return ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), res
+
+    def drain_group(plan):
+        ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), (da, db) = plan
+        a = np.asarray(da)
+        b = a[10:13] if db is None else np.asarray(db)
+        (seed_chain, wl_slot, wl_chain, chain_rid, c_w, c_fq, c_lq, c_ll,
+         c_alt, vec) = a[:10]
+        rmax0, rmax1, c_pos = b
         wr = WorklistNp(
             seeds=SeedsNp(qbeg=g_qbeg, rbeg=g_rbeg, len=g_len,
                           valid=g_valid, frac_rep=g_frac),
             seed_chain=seed_chain.copy(), wl_slot=wl_slot.copy(),
-            wl_chain=wl_chain.copy(), wl_n=wl_n.copy(), rmax0=rmax0,
-            rmax1=rmax1, chain_rid=chain_rid, overflow=overflow,
+            wl_chain=wl_chain.copy(), wl_n=vec[:, 0].copy(), rmax0=rmax0,
+            rmax1=rmax1, chain_rid=chain_rid,
+            overflow=vec[:, 2].astype(bool),
             chain_w=c_w, chain_pos=c_pos, chain_fq=c_fq, chain_lq=c_lq,
-            chain_ll=c_ll, chain_alt=c_alt, chain_n=c_n)
+            chain_ll=c_ll, chain_alt=c_alt.astype(bool),
+            chain_n=vec[:, 1].copy())
         chainflt_host.fix_tied_rows(wr, opt)
         return wr
 
@@ -232,59 +260,160 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
         # bound compile cost: loop-state size ~ G×cap (see _shapes.LANE_TILE)
         return max(128, 131072 // cap)
 
-    groups = []
+    plans = []
     assigned = np.zeros(n, bool)
     for cap in group_caps:
         sel = (~assigned) & (seed_cnt <= cap) & (seed_cnt > 0)
         assigned |= sel
         ridx = np.nonzero(sel)[0]
         for s0, c in _shapes.chunks(ridx.size, tile=g_tile(cap)):
-            sub = ridx[s0:s0 + c]
-            groups.append((sub, run_group(sub, cap)))
+            plans.append(submit_group(ridx[s0:s0 + c], cap))
     # reads beyond the largest cap: truncated to the first `cap` seeds
     # (slot order == insertion order); flagged for the host fallback
     rest = np.nonzero((~assigned) & (seed_cnt > 0))[0]
     for s0, c in _shapes.chunks(rest.size, tile=g_tile(group_caps[-1])):
-        sub = rest[s0:s0 + c]
-        groups.append((sub, run_group(sub, group_caps[-1])))
-    return groups
+        plans.append(submit_group(rest[s0:s0 + c], group_caps[-1]))
+    return [(p[0], drain_group(p)) for p in plans]
 
 
 # --------------------------------------------------------------------------
-# Host-compacted 3-pass interval collection: only live lanes hit the device.
-# Semantics identical to ops.smem.collect_intervals (the all-device variant
-# kept for the single-program path); validated by the same oracle tests.
+# Fused 3-pass interval collection: ONE device program runs pass 1 (SMEM
+# forward scan + backward extension + emission), pass 2 (re-seeding of long
+# low-occurrence SMEMs on device-compacted parent lanes), and pass 3
+# (LAST-like short-seed scan), compacting each pass's emissions into flat
+# arenas and returning ONE stacked array (+ packed meta/overflow word).
+# Why: the tunneled TPU backend charges a ~25 ms round trip per fetched
+# array and ~28 ms per dispatch; the previous host-driven pass-2 cost ~25
+# fetches per batch, dominating the seeding phase.  Semantics are identical
+# to ops.smem.collect_intervals / mem_collect_intv (bwamem.c:137-185);
+# validated by test_smem / test_seeding_host / the e2e suite.
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cap", "multi_pivot"))
-def _fwd_scan_jit(fm, seq, l_seq, start, min_intv, *, cap, multi_pivot):
-    return smemops.forward_scan(fm, seq, l_seq, start, min_intv, cap,
-                                multi_pivot=multi_pivot)
+
+def _compact_flat(mask, fields, arena):
+    """Compact flat lanes: mask [T] bool; fields [(flat array, dtype)].
+    Returns (outs [arena], n, overflow, pos) — pos is the target slot per
+    source lane (for scattering results back to the source grid).  Lanes
+    past the arena are DROPPED (mode=drop), so output is only valid when
+    overflow is False — callers must retry with a bigger arena."""
+    i32 = jnp.int32
+    pos = jnp.cumsum(mask.astype(i32)) - 1
+    n_all = pos[-1] + 1
+    over = n_all > arena
+    tgt = jnp.where(mask, jnp.minimum(pos, arena - 1), arena)
+    outs = [jnp.zeros((arena,), dt).at[tgt].set(
+        a.reshape(-1).astype(dt), mode="drop") for a, dt in fields]
+    return outs, jnp.minimum(n_all, arena), over, pos
 
 
-@jax.jit
-def _back_flat_jit(fm, seq, lane_read, pivot, x0, x1, x2, min_intv, valid):
-    return smemops.back_extend_flat(fm, seq, lane_read, pivot, x0, x1, x2,
-                                    min_intv, valid)
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "kmax", "emax", "pmax", "cand2", "k2max", "e2max", "p3cap",
+    "e3max", "min_seed_len", "split_len", "split_width", "max_mem_intv"))
+def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
+                     k2max, e2max, p3cap, e3max, min_seed_len, split_len,
+                     split_width, max_mem_intv):
+    N, L = seq.shape
+    it = fm.L2.dtype
+    i32 = jnp.int32
+
+    # ---- pass 1: multi-pivot forward scan over full reads ----
+    c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
+                              jnp.ones((N,), it), cap, multi_pivot=True)
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
+    slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
+    mask1 = (slots < c1.n[:, None]).reshape(-1)
+    (lane_read, pivot, fx0, fx1, fx2), nk, k_over, pos1 = _compact_flat(
+        mask1, [(rows, i32), (c1.pivot, i32), (c1.x0, it), (c1.x1, it),
+                (c1.x2, it)], kmax)
+    fvalid = jnp.arange(kmax, dtype=i32) < nk
+    s_f, x0_f, x2_f = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, fx0, fx1, fx2, jnp.ones((kmax,), it),
+        fvalid)
+    maskg = mask1.reshape(N, cap)
+    back = jnp.where(maskg, jnp.minimum(pos1.reshape(N, cap), kmax - 1), 0)
+    s_grid = jnp.where(maskg, s_f[back], 0)
+    x0_grid = jnp.where(maskg, x0_f[back], 0)
+    x2_grid = jnp.where(maskg, x2_f[back], 0)
+    emit1 = smemops.emit_mask(c1, s_grid.reshape(-1))
+    smem1 = emit1 & ((c1.end - s_grid) >= min_seed_len)
+    (e_read, e_s, e_e, e_x0, e_x2), n1, e_over, _ = _compact_flat(
+        smem1.reshape(-1), [(rows, it), (s_grid, it), (c1.end, it),
+                            (x0_grid, it), (x2_grid, it)], emax)
+
+    # ---- pass 2: re-seed long low-occ SMEMs (bwamem.c:155-165) on
+    # device-compacted parent lanes ----
+    lane1 = jnp.arange(emax, dtype=i32)
+    qual = ((lane1 < n1) & ((e_e - e_s) >= split_len)
+            & (e_x2 <= split_width))
+    (p_read, p_start, p_min), n_par, p_over, _ = _compact_flat(
+        qual, [(e_read, i32), ((e_s + e_e) >> 1, i32),
+               (e_x2 + 1, it)], pmax)
+    p_alive = jnp.arange(pmax, dtype=i32) < n_par
+    p_lseq = jnp.where(p_alive, l_seq[p_read], 0).astype(l_seq.dtype)
+    c2 = smemops.forward_scan(
+        fm, seq, p_lseq, jnp.where(p_alive, p_start, 0),
+        jnp.where(p_alive, p_min, 1), cand2, multi_pivot=False,
+        lane_read=p_read)
+    rows2 = jnp.broadcast_to(p_read[:, None], (pmax, cand2))
+    slots2 = jnp.broadcast_to(jnp.arange(cand2, dtype=i32)[None, :],
+                              (pmax, cand2))
+    mask2 = (slots2 < c2.n[:, None]).reshape(-1)
+    min2g = jnp.broadcast_to(p_min[:, None], (pmax, cand2))
+    (lr2, pv2, bx0, bx1, bx2, mi2), nk2, k2_over, pos2 = _compact_flat(
+        mask2, [(rows2, i32), (c2.pivot, i32), (c2.x0, it), (c2.x1, it),
+                (c2.x2, it), (min2g, it)], k2max)
+    v2 = jnp.arange(k2max, dtype=i32) < nk2
+    s2f, x0f2, x2f2 = smemops.back_extend_flat(
+        fm, seq, lr2, pv2, bx0, bx1, bx2, mi2, v2)
+    mask2g = mask2.reshape(pmax, cand2)
+    back2 = jnp.where(mask2g,
+                      jnp.minimum(pos2.reshape(pmax, cand2), k2max - 1), 0)
+    s2_grid = jnp.where(mask2g, s2f[back2], 0)
+    x0_2g = jnp.where(mask2g, x0f2[back2], 0)
+    x2_2g = jnp.where(mask2g, x2f2[back2], 0)
+    emit2 = smemops.emit_mask(c2, s2_grid.reshape(-1))
+    smem2 = emit2 & ((c2.end - s2_grid) >= min_seed_len)
+    (e2_read, e2_s, e2_e, e2_x0, e2_x2), n2, e2_over, _ = _compact_flat(
+        smem2.reshape(-1), [(rows2, it), (s2_grid, it), (c2.end, it),
+                            (x0_2g, it), (x2_2g, it)], e2max)
+
+    # ---- pass 3 (bwt_seed_strategy1) ----
+    if max_mem_intv > 0:
+        p3x0, p3x2, p3s, p3e, p3n, p3over = smemops.pass3_scan(
+            fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap)
+        rows3 = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None],
+                                 (N, p3cap))
+        m3 = (jnp.broadcast_to(jnp.arange(p3cap, dtype=i32)[None, :],
+                               (N, p3cap)) < p3n[:, None])
+        (e3_read, e3_s, e3_e, e3_x0, e3_x2), n3, e3_over, _ = _compact_flat(
+            m3.reshape(-1), [(rows3, it), (p3s, it), (p3e, it),
+                             (p3x0, it), (p3x2, it)], e3max)
+        p3_any = p3over.any()
+    else:
+        z = jnp.zeros((e3max,), it)
+        e3_read = e3_s = e3_e = e3_x0 = e3_x2 = z
+        n3 = jnp.zeros((), i32)
+        e3_over = p3_any = jnp.zeros((), bool)
+
+    # ---- ONE stacked output [5, emax+e2max+e3max+8] ----
+    # rows: read, start, end, x0, x2; meta block (last 8 cols of row 0):
+    # n1, n2, n3, flags
+    sec1 = jnp.stack([e_read, e_s, e_e, e_x0, e_x2])
+    sec2 = jnp.stack([e2_read, e2_s, e2_e, e2_x0, e2_x2])
+    sec3 = jnp.stack([e3_read, e3_s, e3_e, e3_x0, e3_x2])
+    flags = (c1.overflow.any().astype(it)
+             | (k_over.astype(it) << 1) | (e_over.astype(it) << 2)
+             | (p_over.astype(it) << 3) | (c2.overflow.any().astype(it) << 4)
+             | (k2_over.astype(it) << 5) | (e2_over.astype(it) << 6)
+             | (p3_any.astype(it) << 7) | (e3_over.astype(it) << 8))
+    meta = jnp.zeros((5, 8), it).at[0, :4].set(
+        jnp.stack([n1.astype(it), n2.astype(it), n3.astype(it), flags]))
+    return jnp.concatenate([sec1, sec2, sec3, meta], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("min_len", "max_intv", "cap"))
-def _pass3_jit(fm, seq, l_seq, *, min_len, max_intv, cap):
-    return smemops.pass3_scan(fm, seq, l_seq, min_len, max_intv, cap)
-
-
-def _emit_np(pivot, s, end, n, cap):
-    """bwt_smem1a emission rule on host (see smem.emit_mask)."""
-    C = cap
-    slots = np.arange(C)[None, :]
-    valid = slots < n[:, None]
-    nxt_same = np.concatenate([pivot[:, 1:] == pivot[:, :-1],
-                               np.zeros((pivot.shape[0], 1), bool)], axis=1)
-    nxt_valid = np.concatenate([slots[:, 1:] < n[:, None],
-                                np.zeros((pivot.shape[0], 1), bool)], axis=1)
-    s_next = np.concatenate([s[:, 1:], s[:, :1]], axis=1)
-    last = ~(nxt_same & nxt_valid)
-    return valid & (last | (s < s_next))
+# which arena each overflow-flag bit grows (bit order must match `flags`)
+_GROW_BITS = ("cap", "kmax", "emax", "pmax", "cand2", "k2max", "e2max",
+              "p3cap", "e3max")
 
 
 def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
@@ -292,224 +421,62 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                            emax0: int = 0):
     """Returns flat per-interval arrays (read, start, end, x0, x2) sorted by
     (read, start, end) — mem_collect_intv output (bwamem.c:137-185) plus an
-    overflow flag per read.
+    overflow flag per read (always all-False: every arena overflow is
+    retried with a doubled arena until the output fits).
 
-    Pass 1 + pass 3 run as ONE fused device program that compacts its own
-    lanes and returns flat SMEM arrays (a few MB) instead of [N, cap]
-    candidate grids (tens of MB through the transport).  Pass 2 reseeds the
-    (rare) long low-occ SMEMs through host-compacted lanes."""
+    All three passes run as ONE fused device program returning ONE stacked
+    array; see _collect_all_jit.  kmax0/emax0 override the initial pass-1
+    arena sizes (tests use tiny values to force the grow-and-retry path)."""
     opt: MemOptions = al.opt
-    it = np.asarray(al.fm.L2).dtype
     seq_j = jnp.asarray(seq_np)
     l_j = jnp.asarray(l_seq)
     N, Lr = seq_np.shape
-    cap = 2 * Lr
-    # every in-program gather pays ~ns per ARENA row (padding included), so
-    # the arenas start at the size this Aligner last needed (typical reads
-    # need ~10-30 candidates each) and grow via the retry loop below
     hist = getattr(al, "_seed_arena_hist", None)
     if hist is None:
         hist = al._seed_arena_hist = {}
-    kmax = kmax0 or hist.get(("k", N)) or _bucket(N * 16, lo=1024)
-    emax = emax0 or hist.get(("e", N)) or _bucket(N * 8, lo=1024)
-    p3cap = 32
+    sizes = {
+        "cap": 2 * Lr,
+        "kmax": kmax0 or hist.get(("kmax", N)) or _bucket(N * 16, lo=1024),
+        "emax": emax0 or hist.get(("emax", N)) or _bucket(N * 8, lo=1024),
+        "pmax": hist.get(("pmax", N)) or _bucket(N * 2, lo=256),
+        "cand2": hist.get(("cand2", N)) or 48,
+        "k2max": hist.get(("k2max", N)) or _bucket(N * 8, lo=1024),
+        "e2max": hist.get(("e2max", N)) or _bucket(N * 4, lo=1024),
+        "p3cap": hist.get(("p3cap", N)) or 32,
+        "e3max": hist.get(("e3max", N)) or _bucket(N * 2, lo=1024),
+    }
     while True:
-        out = _pass1_fused_jit(
-            al.fm, seq_j, l_j, cap=cap, kmax=kmax, emax=emax,
-            min_seed_len=opt.min_seed_len,
-            max_mem_intv=opt.max_mem_intv, p3cap=p3cap)
-        (o_read, o_s, o_e, o_x0, o_x2, n_emit, p3x0, p3x2, p3s, p3e, p3n,
-         c1over, p3over, cap_over) = (np.asarray(x) for x in out)
-        # grow whichever arena overflowed and rerun: clamped-compaction
-        # output is corrupt, silently truncating seeds is not an option
+        out = np.asarray(_collect_all_jit(
+            al.fm, seq_j, l_j, min_seed_len=opt.min_seed_len,
+            split_len=opt.split_len, split_width=opt.split_width,
+            max_mem_intv=opt.max_mem_intv, **sizes))
+        flags = int(out[0, -5])
+        # grow whichever arena overflowed and rerun: dropped-lane output is
+        # incomplete, silently truncating seeds is not an option
         retry = False
-        if bool(cap_over):
-            kmax, emax, retry = kmax * 2, emax * 2, True
-        if c1over.any():
-            cap, retry = cap * 2, True
-        if p3over.any():
-            p3cap, retry = p3cap * 2, True
+        for bit, name in enumerate(_GROW_BITS):
+            if (flags >> bit) & 1:
+                sizes[name] *= 2
+                retry = True
         if not retry:
             break
-    if kmax0 == 0:
-        hist[("k", N)] = kmax
-        hist[("e", N)] = emax
-    K = int(n_emit)
-    o_read, o_s, o_e = o_read[:K], o_s[:K], o_e[:K]
-    o_x0, o_x2 = o_x0[:K], o_x2[:K]
-
-    out_read = [o_read]
-    out_s = [o_s]
-    out_e = [o_e]
-    out_x0 = [o_x0]
-    out_x2 = [o_x2]
-
-    # ---- pass 2 on compacted parent lanes (bwamem.c:155-165) ----
-    qual = ((o_e - o_s) >= opt.split_len) & (o_x2 <= opt.split_width)
-    pidx = np.nonzero(qual)[0]
-    prow = o_read[pidx]
-    c2over = np.zeros(n, bool)
-    if pidx.size:
-        M2 = pidx.size
-        Mp = _shapes.lanes(M2, fine_lo=64, coarse_lo=64)
-        pseq = np.full((Mp, Lr), 4, np.uint8)
-        pseq[:M2] = seq_np[prow]
-        pl = np.zeros(Mp, np.int32)
-        pl[:M2] = l_seq[prow]
-        pstart = np.zeros(Mp, np.int32)
-        pstart[:M2] = (o_s[pidx] + o_e[pidx]) >> 1
-        pmin = np.ones(Mp, it)
-        pmin[:M2] = o_x2[pidx] + 1
-        cand2 = 48
-        while True:
-            c2 = _fwd_scan_jit(al.fm, jnp.asarray(pseq), jnp.asarray(pl),
-                               jnp.asarray(pstart), jnp.asarray(pmin),
-                               cap=cand2, multi_pivot=False)
-            c2 = jax.tree.map(np.asarray, c2)
-            if not c2.overflow[:M2].any():
-                break
-            cand2 *= 2
-        cnt2 = c2.n[:M2]
-        rows2, slots2 = np.nonzero(
-            np.arange(cand2)[None, :] < cnt2[:, None])
-        if rows2.size:
-            M = rows2.size
-            Mp2 = _shapes.lanes(M, fine_lo=256, coarse_lo=256)
-            lr = np.zeros(Mp2, np.int32)
-            pv = np.zeros(Mp2, np.int32)
-            bx0 = np.zeros(Mp2, it)
-            bx1 = np.zeros(Mp2, it)
-            bx2 = np.zeros(Mp2, it)
-            mi = np.ones(Mp2, it)
-            va = np.zeros(Mp2, bool)
-            lr[:M] = prow[rows2]
-            pv[:M] = c2.pivot[rows2, slots2]
-            bx0[:M] = c2.x0[rows2, slots2]
-            bx1[:M] = c2.x1[rows2, slots2]
-            bx2[:M] = c2.x2[rows2, slots2]
-            mi[:M] = pmin[rows2]
-            va[:M] = True
-            s2f, x0f2, x2f2 = (np.asarray(x)[:M] for x in _back_flat_jit(
-                al.fm, seq_j, jnp.asarray(lr), jnp.asarray(pv),
-                jnp.asarray(bx0), jnp.asarray(bx1), jnp.asarray(bx2),
-                jnp.asarray(mi), jnp.asarray(va)))
-            s2 = np.zeros((M2, cand2), np.int32)
-            sx0_2 = np.zeros((M2, cand2), it)
-            sx2_2 = np.zeros((M2, cand2), it)
-            s2[rows2, slots2] = s2f
-            sx0_2[rows2, slots2] = x0f2
-            sx2_2[rows2, slots2] = x2f2
-            e2 = c2.end[:M2]
-            emit2 = _emit_np(c2.pivot[:M2], s2, e2, cnt2, cand2)
-            smem2 = emit2 & ((e2 - s2) >= opt.min_seed_len)
-            jr, jc = np.nonzero(smem2)
-            out_read.append(prow[jr].astype(np.int32))
-            out_s.append(s2[jr, jc])
-            out_e.append(e2[jr, jc].astype(np.int32))
-            out_x0.append(sx0_2[jr, jc])
-            out_x2.append(sx2_2[jr, jc])
-        np.logical_or.at(c2over, prow, c2.overflow[:M2])
-
-    # ---- pass 3 (from the fused program) ----
-    if opt.max_mem_intv > 0:
-        kr, kc = np.nonzero(
-            np.arange(p3s.shape[1])[None, :] < p3n[:n, None])
-        out_read.append(kr.astype(np.int32))
-        out_s.append(p3s[kr, kc])
-        out_e.append(p3e[kr, kc])
-        out_x0.append(p3x0[kr, kc])
-        out_x2.append(p3x2[kr, kc])
-
-    read_iv = np.concatenate(out_read)
-    start = np.concatenate(out_s).astype(np.int64)
-    end = np.concatenate(out_e).astype(np.int64)
-    x0 = np.concatenate(out_x0).astype(np.int64)
-    x2 = np.concatenate(out_x2).astype(np.int64)
-    # sort by (read, start, end) — ks_introsort(mem_intv) on info
+    for name in ("kmax", "emax", "pmax", "cand2", "k2max", "e2max",
+                 "p3cap", "e3max"):
+        if not (kmax0 and name in ("kmax", "emax")):
+            hist[(name, N)] = sizes[name]
+    n1, n2, n3 = (int(out[0, -8]), int(out[0, -7]), int(out[0, -6]))
+    o1 = sizes["emax"]
+    o2 = o1 + sizes["e2max"]
+    allv = np.concatenate([out[:, :n1], out[:, o1:o1 + n2],
+                           out[:, o2:o2 + n3]], axis=1)
+    read_iv = allv[0].astype(np.int32)
+    start = allv[1].astype(np.int64)
+    end = allv[2].astype(np.int64)
+    x0 = allv[3].astype(np.int64)
+    x2 = allv[4].astype(np.int64)
+    # sort by (read, start, end) — ks_introsort(mem_intv) on info; stable,
+    # so ties keep pass-1 < pass-2 < pass-3 emission order
     order = np.lexsort((end, start, read_iv))
-    overflow = c2over  # all caps retried to fit; kept for interface parity
+    overflow = np.zeros(n, bool)
     return (read_iv[order], start[order], end[order], x0[order], x2[order],
             overflow)
-
-
-# --------------------------------------------------------------------------
-# Fully fused pass-1 (+pass-3) program: forward scan → device-side lane
-# compaction → backward extension → emission → compact SMEM output.  One
-# dispatch, a few MB out, no [N, cap] candidate download (which was
-# transport-bound on the tunneled chip).
-# --------------------------------------------------------------------------
-
-@functools.partial(jax.jit, static_argnames=(
-    "cap", "kmax", "emax", "min_seed_len", "max_mem_intv", "p3cap"))
-def _pass1_fused_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len,
-                     max_mem_intv, p3cap):
-    N, L = seq.shape
-    it = fm.L2.dtype
-    i32 = jnp.int32
-    c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
-                              jnp.ones((N,), it), cap, multi_pivot=True)
-    rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
-    slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
-    mask = slots < c1.n[:, None]
-    fmask = mask.reshape(-1)
-    pos = jnp.cumsum(fmask.astype(i32)) - 1
-    k_over = pos[-1] + 1 > kmax
-    tgt = jnp.where(fmask, jnp.minimum(pos, kmax - 1), kmax)
-
-    def compact(a, dt):
-        return jnp.zeros((kmax,), dt).at[tgt].set(
-            a.reshape(-1).astype(dt), mode="drop")
-
-    lane_read = compact(rows, i32)
-    pivot = compact(c1.pivot, i32)
-    fx0 = compact(c1.x0, it)
-    fx1 = compact(c1.x1, it)
-    fx2 = compact(c1.x2, it)
-    nflat = jnp.minimum(pos[-1] + 1, kmax)
-    fvalid = jnp.arange(kmax, dtype=i32) < nflat
-    s_f, x0_f, x2_f = smemops.back_extend_flat(
-        fm, seq, lane_read, pivot, fx0, fx1, fx2,
-        jnp.ones((kmax,), it), fvalid)
-    # scatter s back to the [N, cap] grid for the emission rule
-    back = jnp.where(mask, jnp.clip(pos.reshape(N, cap), 0, kmax - 1), 0)
-    s_grid = jnp.where(mask, s_f[back], 0)
-    x0_grid = jnp.where(mask, x0_f[back], 0)
-    x2_grid = jnp.where(mask, x2_f[back], 0)
-    emit = smemops.emit_mask(c1, s_grid.reshape(-1))
-    emit = emit & ((c1.end - s_grid) >= min_seed_len)
-    # compact emitted SMEMs
-    efl = emit.reshape(-1)
-    epos = jnp.cumsum(efl.astype(i32)) - 1
-    e_over = epos[-1] + 1 > emax
-    etgt = jnp.where(efl, jnp.minimum(epos, emax - 1), emax)
-
-    def ecompact(a, dt):
-        return jnp.zeros((emax,), dt).at[etgt].set(
-            a.reshape(-1).astype(dt), mode="drop")
-
-    out_read = ecompact(rows, i32)
-    out_s = ecompact(s_grid, i32)
-    out_e = ecompact(c1.end, i32)
-    out_x0 = ecompact(x0_grid, it)
-    out_x2 = ecompact(x2_grid, it)
-    n_emit = jnp.minimum(epos[-1] + 1, emax)
-
-    if max_mem_intv > 0:
-        p3 = smemops.pass3_scan(fm, seq, l_seq, min_seed_len, max_mem_intv,
-                                p3cap)
-        p3x0, p3x2, p3s, p3e, p3n, p3over = p3
-    else:
-        z = jnp.zeros((N, p3cap), it)
-        zi = jnp.zeros((N, p3cap), i32)
-        p3x0, p3x2, p3s, p3e = z, z, zi, zi
-        p3n = jnp.zeros((N,), i32)
-        p3over = jnp.zeros((N,), bool)
-    # overflow taxonomy, so the host can retry with the right cap doubled:
-    #   c1.overflow — per-read forward-scan candidate cap (`cap`)
-    #   p3over      — per-read pass-3 emission cap (`p3cap`)
-    #   k/e_over    — global compaction arenas (`kmax`/`emax`); past-cap
-    #                 lanes are clamped into the last slot, so the output
-    #                 is CORRUPT whenever these fire and must be retried
-    return (out_read, out_s, out_e, out_x0, out_x2, n_emit,
-            p3x0, p3x2, p3s, p3e, p3n, c1.overflow, p3over,
-            k_over | e_over)
