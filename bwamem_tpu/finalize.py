@@ -508,7 +508,9 @@ def _nm_md(cigar: list, qseg: np.ndarray, rseq: np.ndarray,
            is_rev: bool) -> tuple[int, str]:
     """NM and MD from a raw (pre-clip) cigar over the aligned frames
     (bwa_gen_cigar2, bwa.c:311-341).  Leading/trailing deletions are
-    excluded from both, exactly as the reference."""
+    excluded from both, exactly as the reference.  Match runs are compared
+    vectorized (reads are clean: the per-base loop was the SAM-render
+    hotspot at ~30 us/read)."""
     int2base = "TGCAN" if is_rev else "ACGTN"
     md = []
     x = y = u = 0
@@ -516,21 +518,24 @@ def _nm_md(cigar: list, qseg: np.ndarray, rseq: np.ndarray,
     n_cigar = len(cigar)
     for k, (op, ln) in enumerate(cigar):
         if op == 0:
-            for i in range(ln):
-                if qseg[x + i] != rseq[y + i]:
-                    md.append(str(u))
-                    md.append(int2base[rseq[y + i]])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            rs = rseq[y:y + ln]
+            mm = np.flatnonzero(qseg[x:x + ln] != rs)
+            n_mm += mm.size
+            prev = -1
+            for i in mm:
+                i = int(i)
+                md.append(str(u + i - prev - 1))
+                md.append(int2base[rs[i]])
+                u = 0
+                prev = i
+            u += ln - prev - 1
             x += ln
             y += ln
         elif op == 2:
             if 0 < k < n_cigar - 1:
                 md.append(str(u))
                 md.append("^")
-                md.extend(int2base[rseq[y + i]] for i in range(ln))
+                md.extend(int2base[b] for b in rseq[y:y + ln])
                 u = 0
                 n_gap += ln
             y += ln

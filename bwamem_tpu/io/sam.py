@@ -10,6 +10,7 @@ XR — the part the reference left unfinished.
 """
 from __future__ import annotations
 
+import copy
 from typing import Optional
 
 from bwamem_tpu.config import (MemOptions, MEM_F_SOFTCLIP, MEM_F_REF_HDR)
@@ -19,6 +20,9 @@ from bwamem_tpu.io.fastq import Read
 CIGAR_CHARS = "MIDSH"
 COMP = "TGCAN"
 FWD = "ACGTN"
+# nt4 code (0-4) → base byte, for C-speed bytes.translate rendering
+_FWD_TB = bytes.maketrans(bytes(range(5)), b"ACGTN")
+_COMP_TB = bytes.maketrans(bytes(range(5)), b"TGCAN")
 
 
 def sam_header(contigs, rg_line: Optional[str] = None,
@@ -61,7 +65,6 @@ def aln2sam(opt: MemOptions, ctg_names: list[str], read: Read, n: int,
             ctg_annos: Optional[list[str]] = None) -> str:
     """One SAM line (mem_aln2sam, bwamem.c:832-956).  `m` = mate record for
     the PE path; None for single-end."""
-    import copy
     p = copy.copy(alns[which])
     if m is not None:
         m = copy.copy(m)
@@ -121,12 +124,12 @@ def aln2sam(opt: MemOptions, ctg_names: list[str], read: Read, n: int,
                 if cn in (3, 4):
                     qb += cnl
         if not p.is_rev:
-            s.append("".join(FWD[b] for b in read.seq[qb:qe]))
+            s.append(bytes(read.seq[qb:qe]).translate(_FWD_TB).decode())
             s.append("\t")
             s.append(read.qual[qb:qe] if read.qual else "*")
         else:
-            s.append("".join(COMP[b] for b in read.seq[qe - 1:None if qb == 0
-                                                       else qb - 1:-1]))
+            s.append(bytes(read.seq[qe - 1:None if qb == 0 else qb - 1:-1])
+                     .translate(_COMP_TB).decode())
             s.append("\t")
             s.append(read.qual[qe - 1:None if qb == 0 else qb - 1:-1]
                      if read.qual else "*")
