@@ -40,14 +40,20 @@ def ensure_data():
     d.mkdir(exist_ok=True)
     prefix = d / f"g{GENOME}"
     fa, fq = str(prefix) + ".fa", str(prefix) + ".fq"
-    if not os.path.exists(str(prefix) + ".ours.bt.npz"):
-        contigs = simdata.make_genome(GENOME, seed=42, n_contigs=1)
-        simdata.write_fasta(contigs, fa)
-        reads = simdata.sim_reads(contigs, N_READS, read_len=READ_LEN,
-                                  seed=43)
-        simdata.write_fastq(reads, fq)
+    import numpy as np
+    rebuild = True
+    if os.path.exists(str(prefix) + ".ours.bt.npz"):
+        with np.load(str(prefix) + ".ours.bt.npz") as z:
+            rebuild = "kmer_x0" not in z     # rebuilt once to add the table
+    if rebuild:
+        if not os.path.exists(fa):
+            contigs = simdata.make_genome(GENOME, seed=42, n_contigs=1)
+            simdata.write_fasta(contigs, fa)
+            reads = simdata.sim_reads(contigs, N_READS, read_len=READ_LEN,
+                                      seed=43)
+            simdata.write_fastq(reads, fq)
         from bwamem_tpu.index import build_index
-        idx = build_index(fa)
+        idx = build_index(fa, with_kmer_table=True)
         idx.save(str(prefix) + ".ours")
     return str(prefix), fa, fq
 

@@ -58,6 +58,11 @@ class MemOptions:
     # seeding (bwamem.c:88-94)
     max_mem_intv: int = 20
     min_seed_len: int = 19
+    # TPU implementation knob (not a reference flag): consult the k-mer-12
+    # fast-start table when the index carries one.  Only applied where the
+    # skip is provably output-exact (ops.smem.kmer_pre); set False to force
+    # the plain scans (e.g. for oracle A/B debugging).
+    use_kmer_table: bool = True
     split_width: int = 10
     max_occ: int = 500
     max_chain_gap: int = 10000

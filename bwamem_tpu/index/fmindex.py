@@ -113,11 +113,14 @@ class BwaIndex:
         import json
         arrays = dict(L2=self.L2, bwt_words=self.bwt_words, occ=self.occ,
                       sa_samples=self.sa_samples, pac=self.pac)
+        savez = np.savez
         if self.kmer_table is not None:
-            arrays.update(kmer_x0=self.kmer_table[0],
-                          kmer_x1=self.kmer_table[1],
-                          kmer_size=self.kmer_table[2])
-        np.savez(prefix + ".bt.npz", meta=np.frombuffer(
+            it = self.itype
+            arrays.update(kmer_x0=self.kmer_table[0].astype(it),
+                          kmer_x1=self.kmer_table[1].astype(it),
+                          kmer_size=self.kmer_table[2].astype(it))
+            savez = np.savez_compressed   # 3 x 4^12 mostly-sparse entries
+        savez(prefix + ".bt.npz", meta=np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
     @classmethod

@@ -37,7 +37,7 @@ OCC_INTERVAL = 128
 
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=["cmb", "L2", "sa", "primary",
-                                "seq_len", "l_pac", "pac"],
+                                "seq_len", "l_pac", "pac", "kmer"],
                    meta_fields=["sa_intv", "i64"])
 @dataclasses.dataclass(frozen=True)
 class FM:
@@ -59,6 +59,11 @@ class FM:
     seq_len: jax.Array   # it []
     l_pac: jax.Array     # it []
     pac: jax.Array       # uint32 [ceil(l_pac/16)] packed forward 2-bit ref
+    # optional k-mer-12 fast-start table [4^12, 3] it (x0, x1, size): the
+    # bi-interval after the first 12 forward extensions of an SMEM search
+    # (reference kmers_index/hashKMer.hpp:58-81, used at
+    # cuda/bwt_CUDA.cu:253-258).  None when the index was built without it.
+    kmer: jax.Array | None = None
     sa_intv: int = 32    # static (power of two)
     i64: bool = False    # static: 64-bit occ counts (genomes >= 2^31)
 
@@ -80,7 +85,13 @@ def fm_from_index(idx) -> FM:
     pac_bytes = np.concatenate(
         [idx.pac, np.zeros((-len(idx.pac)) % 4, dtype=np.uint8)])
     pac_words = pac_bytes.view(np.uint32)
+    kmer = None
+    if idx.kmer_table is not None:
+        x0, x1, sz = idx.kmer_table
+        kmer = np.stack([x0.astype(it), x1.astype(it), sz.astype(it)],
+                        axis=1)
     return FM(
+        kmer=kmer,
         cmb=cmb,
         L2=idx.L2.astype(it),
         sa=idx.sa_samples.astype(it),

@@ -55,6 +55,32 @@ class SeedingCaps:
         return self.cand1 + self.parents * self.cand2 + self.pass3
 
 
+KMER_K = 12      # matches index.build.KMER_K / reference KMER_K
+
+
+def kmer_pre(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array) -> jax.Array:
+    """Per-position k-mer-12 fast-start intervals: pre[n, x] = the
+    bi-interval (x0, x1, size) after matching q[x : x+12) forward, via ONE
+    table gather per position instead of 12 FM extensions (reference
+    cuda/bwt_CUDA.cu:253-258, table from kmers_index/hashKMer.hpp:58-81).
+    size == -1 marks positions where the window leaves the read or crosses
+    an ambiguous base (the scans must then take the normal init path)."""
+    N, L = seq.shape
+    i32 = jnp.int32
+    code = jnp.zeros((N, L), i32)
+    bad = jnp.zeros((N, L), bool)
+    for j in range(KMER_K):
+        b = jnp.concatenate(
+            [seq[:, j:], jnp.full((N, j), 4, seq.dtype)], axis=1)
+        code = code * 4 + jnp.clip(b.astype(i32), 0, 3)
+        bad = bad | (b >= 4)
+    posv = jnp.arange(L, dtype=i32)[None, :]
+    valid = (~bad) & (posv + KMER_K <= l_seq[:, None])
+    pre = fm.kmer[jnp.where(valid, code, 0)]          # [N, L, 3]
+    return jnp.where(valid[:, :, None], pre,
+                     jnp.asarray([0, 0, -1], pre.dtype))
+
+
 class Candidates(NamedTuple):
     x0: jax.Array      # [N, C] interval (SA range start)
     x1: jax.Array      # [N, C] reverse-complement range start
@@ -67,8 +93,8 @@ class Candidates(NamedTuple):
 
 def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                  start: jax.Array, min_intv: jax.Array, cap: int,
-                 multi_pivot: bool, lane_read: jax.Array = None
-                 ) -> Candidates:
+                 multi_pivot: bool, lane_read: jax.Array = None,
+                 pre: jax.Array = None) -> Candidates:
     """Phase A.  seq: [N, L] nt4 codes (pad with 4); start: [N] first pivot
     (or the single pivot when multi_pivot=False); min_intv: [N].
 
@@ -107,6 +133,25 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         c_pivot=jnp.zeros((N, cap), jnp.int32),
         n=zero_i, overflow=jnp.zeros((N,), bool),
     )
+    if pre is not None:
+        # k-mer-12 fast start for the FIRST pivot when it is position 0:
+        # enter the loop already matched over [0, 12) with the precomputed
+        # interval.  EXACT for pivot 0: all its candidates back-extend to
+        # s = 0, so the emission rule (s < s_next) emits only the longest —
+        # the candidates the jump skips (end < 12) are never emitted, and
+        # interval sizes are non-increasing in end, so size >= min_intv at
+        # end 12 implies no in-window termination either.
+        p0 = pre[rows_seq, 0]                          # [N, 3]
+        jump = ((state["phase"] == 0) & (start == 0)
+                & (p0[:, 2] >= min_intv.astype(it))
+                & (p0[:, 2] >= 0))
+        K_i = jnp.int32(KMER_K)
+        state["phase"] = jnp.where(jump, 1, state["phase"])
+        state["i"] = jnp.where(jump, K_i, state["i"])
+        state["ik_end"] = jnp.where(jump, K_i, state["ik_end"])
+        state["ik0"] = jnp.where(jump, p0[:, 0], state["ik0"])
+        state["ik1"] = jnp.where(jump, p0[:, 1], state["ik1"])
+        state["ik2"] = jnp.where(jump, p0[:, 2], state["ik2"])
 
     def cond(st):
         return jnp.any(st["phase"] < 2)
@@ -259,10 +304,17 @@ def emit_mask(cand: Candidates, s: jax.Array) -> jax.Array:
 
 
 def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
-               min_len: int, max_intv: int, cap: int):
+               min_len: int, max_intv: int, cap: int,
+               pre: jax.Array = None):
     """LAST-like 3rd pass (bwt_seed_strategy1, bwt.c:358-379): forward-only;
     emit the extended interval the first time its size drops below max_intv
-    at length > min_len; restart at i+1."""
+    at length > min_len; restart at i+1.
+
+    `pre` (from kmer_pre) fast-starts every restart 12 bases in.  EXACT
+    when min_len >= 12 (caller must enforce): no emission can trigger at
+    in-window lengths < min_len, ambiguous bases invalidate the window,
+    and a zero-size window interval behaves like the scanned one (the
+    length trigger, not the size, decides the restart position)."""
     N, L = seq.shape
     it = fm.L2.dtype
     rows = jnp.arange(N, dtype=jnp.int32)
@@ -296,10 +348,19 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         init_amb = init & (qx >= 4)
         init_ok = init & (qx < 4)
         s0, s1, s2 = fmops.set_intv(fm, jnp.clip(qx, 0, 3))
+        if pre is not None:
+            pk = pre[rows, jnp.clip(x, 0, L - 1)]          # [N, 3]
+            jmp = init_ok & (pk[:, 2] >= 0)
+            s0 = jnp.where(jmp, pk[:, 0], s0)
+            s1 = jnp.where(jmp, pk[:, 1], s1)
+            s2 = jnp.where(jmp, pk[:, 2], s2)
+            i_init = jnp.where(jmp, x + KMER_K, x + 1)
+        else:
+            i_init = x + 1
         ik0 = jnp.where(init_ok, s0, ik0)
         ik1 = jnp.where(init_ok, s1, ik1)
         ik2 = jnp.where(init_ok, s2, ik2)
-        i = jnp.where(init_ok, x + 1, i)
+        i = jnp.where(init_ok, i_init, i)
         x = jnp.where(init_amb, x + 1, x)
         phase = jnp.where(init_ok, 1, phase)
         phase = jnp.where((phase == 0) & (x >= l_seq), 2, phase)

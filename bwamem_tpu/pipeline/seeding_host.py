@@ -308,17 +308,23 @@ def _compact_flat(mask, fields, arena):
 
 @functools.partial(jax.jit, static_argnames=(
     "cap", "kmax", "emax", "pmax", "cand2", "k2max", "e2max", "p3cap",
-    "e3max", "min_seed_len", "split_len", "split_width", "max_mem_intv"))
+    "e3max", "min_seed_len", "split_len", "split_width", "max_mem_intv",
+    "use_kmer"))
 def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
                      k2max, e2max, p3cap, e3max, min_seed_len, split_len,
-                     split_width, max_mem_intv):
+                     split_width, max_mem_intv, use_kmer=False):
     N, L = seq.shape
     it = fm.L2.dtype
     i32 = jnp.int32
 
+    # k-mer-12 fast-start intervals per read position (exactness argument
+    # in ops.smem; only valid when min_seed_len >= 12, checked by caller)
+    pre = smemops.kmer_pre(fm, seq, l_seq) if use_kmer else None
+
     # ---- pass 1: multi-pivot forward scan over full reads ----
     c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
-                              jnp.ones((N,), it), cap, multi_pivot=True)
+                              jnp.ones((N,), it), cap, multi_pivot=True,
+                              pre=pre)
     rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
     slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
     mask1 = (slots < c1.n[:, None]).reshape(-1)
@@ -380,7 +386,7 @@ def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
     # ---- pass 3 (bwt_seed_strategy1) ----
     if max_mem_intv > 0:
         p3x0, p3x2, p3s, p3e, p3n, p3over = smemops.pass3_scan(
-            fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap)
+            fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap, pre=pre)
         rows3 = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None],
                                  (N, p3cap))
         m3 = (jnp.broadcast_to(jnp.arange(p3cap, dtype=i32)[None, :],
@@ -445,11 +451,15 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
         "p3cap": hist.get(("p3cap", N)) or 32,
         "e3max": hist.get(("e3max", N)) or _bucket(N * 2, lo=1024),
     }
+    # k-mer fast-start: only when the index carries the table and the skip
+    # is provably exact (min_seed_len >= K, see ops.smem.kmer_pre)
+    use_kmer = (al.fm.kmer is not None and getattr(opt, "use_kmer_table", True)
+                and opt.min_seed_len >= smemops.KMER_K)
     while True:
         out = np.asarray(_collect_all_jit(
             al.fm, seq_j, l_j, min_seed_len=opt.min_seed_len,
             split_len=opt.split_len, split_width=opt.split_width,
-            max_mem_intv=opt.max_mem_intv, **sizes))
+            max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer, **sizes))
         flags = int(out[0, -5])
         # grow whichever arena overflowed and rerun: dropped-lane output is
         # incomplete, silently truncating seeds is not an option

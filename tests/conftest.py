@@ -50,11 +50,16 @@ def built_index(tiny_dataset):
     from bwamem_tpu.index import BwaIndex, build_index
     prefix = tiny_dataset["prefix"] + ".ours"
     try:
-        return BwaIndex.load(prefix)
+        idx = BwaIndex.load(prefix)
+        if idx.kmer_table is not None:
+            return idx
     except FileNotFoundError:
-        idx = build_index(tiny_dataset["fa"])
-        idx.save(prefix)
-        return idx
+        pass
+    # with the k-mer fast-start table: every oracle-exactness test then
+    # also covers the kmer-skip seeding path (on by default)
+    idx = build_index(tiny_dataset["fa"], with_kmer_table=True)
+    idx.save(prefix)
+    return idx
 
 
 @pytest.fixture(scope="session")

@@ -65,3 +65,31 @@ def test_interval_collection_overflow_retry(oracle, tiny_dataset,
         if [tuple(int(v) for v in t) for t in ours] != want:
             bad.append((r.name, ours, want))
     assert not bad, f"{len(bad)} reads differ; first: {bad[0]!r}"
+
+
+def test_kmer_fast_start_exact(oracle, tiny_dataset, built_index,
+                               many250_fq):
+    """The k-mer-12 fast-start (index table consulted at pass-1 pivot 0 and
+    every pass-3 restart) must leave the collected interval set EXACTLY
+    unchanged vs the plain scans (reference table semantics:
+    kmers_index/hashKMer.hpp:58-81, cuda/bwt_CUDA.cu:253-258)."""
+    import dataclasses
+
+    from bwamem_tpu.io.fastq import pack_batch, read_fastx
+    from bwamem_tpu.pipeline.align import Aligner, _bucket
+    from bwamem_tpu.pipeline import seeding_host
+
+    assert built_index.kmer_table is not None
+    reads = list(read_fastx(many250_fq))[:32]
+    al = Aligner(built_index)
+    assert al.fm.kmer is not None
+    n = len(reads)
+    N = _bucket(n, lo=8)
+    L = _bucket(max(r.l_seq for r in reads), lo=32)
+    seq, l_seq = pack_batch(reads, N, L)
+    with_k = seeding_host.collect_intervals_host(al, seq, l_seq, n)
+    al.opt = dataclasses.replace(al.opt, use_kmer_table=False)
+    al._seed_arena_hist = {}
+    without = seeding_host.collect_intervals_host(al, seq, l_seq, n)
+    for a, b in zip(with_k, without):
+        np.testing.assert_array_equal(a, b)
