@@ -58,9 +58,12 @@ def ensure_data():
     return str(prefix), fa, fq
 
 
-def cpu_baseline(prefix: str, fa: str, fq: str) -> float:
-    """reads/s of single-thread CPU bwa mem on the same input (cached)."""
-    cache = Path(prefix + ".cpu_baseline.json")
+def cpu_baseline(prefix: str, fa: str, fq: str, threads: int = 1) -> float:
+    """reads/s of CPU bwa mem -t `threads` on the same input (cached).
+    -t 1 is the correctness-era anchor; -t nproc is the practical speed
+    anchor per BASELINE.md (the reference GPU has no end-to-end number)."""
+    cache = Path(prefix + (".cpu_baseline.json" if threads == 1 else
+                           f".cpu_baseline_t{threads}.json"))
     if cache.exists():
         return json.loads(cache.read_text())["reads_per_sec"]
     oracle = REPO / "tools" / "oracle" / "bwa_oracle"
@@ -71,12 +74,13 @@ def cpu_baseline(prefix: str, fa: str, fq: str) -> float:
         subprocess.run([str(oracle), "index", fa, prefix], check=True,
                        capture_output=True)
     t0 = time.perf_counter()
-    subprocess.run([str(oracle), "mem", "-t", "1", prefix, fq],
+    subprocess.run([str(oracle), "mem", "-t", str(threads), prefix, fq],
                    check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     dt = time.perf_counter() - t0
     rps = N_READS / dt
-    cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt}))
+    cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt,
+                                 "threads": threads}))
     return rps
 
 
@@ -113,11 +117,28 @@ def main():
     dt = time.perf_counter() - t0
     rps = done / dt
 
+    # per-stage breakdown of one steady-state batch → CSV beside the data
+    # (the reference's perf_profile.txt, cuda/superbatch_process.cpp:11)
+    sys.path.insert(0, str(REPO / "tools"))
+    from profile_batch import profile_phases
+    ph = profile_phases(al, reads[:BATCH], reps=1, warmup=False)
+    csv = Path(prefix + ".perf_profile.csv")
+    cols = sorted(ph)
+    csv.write_text("batch," + ",".join(c + "(ms)" for c in cols) + "\n" +
+                   f"{BATCH}," + ",".join(f"{1e3 * ph[c]:.1f}"
+                                          for c in cols) + "\n")
+
+    nthreads = os.cpu_count() or 1
+    base_tn = (cpu_baseline(prefix, fa, fq, nthreads) if nthreads > 1
+               else base_rps)
     print(json.dumps({
         "metric": "reads_per_sec_se_101bp_5Mbp",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / base_rps, 3),
+        "vs_cpu_tN": round(rps / base_tn, 3),
+        "cpu_threads_N": nthreads,
+        "stage_ms": {c: round(1e3 * ph[c], 1) for c in cols},
     }))
 
 

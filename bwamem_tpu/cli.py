@@ -226,7 +226,7 @@ def cmd_mem(argv: list[str]) -> int:
             pe = True
 
     from bwamem_tpu.pipeline.align import align_stream
-    al = Aligner(idx, opt)
+    al = Aligner(idx, opt, mesh=_local_mesh())
     rg = _rg_id(x["rg_line"])
     n_processed = 0
     chunk = x["fixed_chunk"] if x["fixed_chunk"] > 0 else \
@@ -243,6 +243,23 @@ def cmd_mem(argv: list[str]) -> int:
     if x["out"]:
         out.close()
     return 0
+
+
+def _local_mesh():
+    """Data-parallel mesh over the local chips when more than one is
+    visible (the multi-chip analog of the reference's implicit single-GPU
+    use).  BWAMEM_TPU_DEVICES=N caps the count (1 disables)."""
+    import os
+    import jax
+    devs = jax.devices()
+    want = min(int(os.environ.get("BWAMEM_TPU_DEVICES", len(devs))),
+               len(devs))
+    if want < 2:
+        return None
+    n = 1 << (want.bit_length() - 1)   # largest power-of-two prefix
+    from bwamem_tpu.parallel import make_mesh
+    sys.stderr.write(f"[M::mem] data-parallel mesh over {n} devices\n")
+    return make_mesh(devs[:n])
 
 
 def _batches_by_bases(reads, max_bases: int, pe: bool):

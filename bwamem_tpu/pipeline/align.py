@@ -3,9 +3,12 @@
 Maps the reference's per-batch flow (mem_process_seqs, bwamem.c:1215-1244;
 GPU driver mem_align_GPU, cuda/bwamem_GPU.cu:3457-3899) onto the TPU split:
 
-  device (one XLA program, pipeline.seedchain.align_regs_jit):
-      nt4 batch → SMEM intervals → seeds → chains → filtered chains →
-      banded-SW extension → fixed-shape alignment-region tables
+  device (pipeline.seeding_host.front_half + pipeline.extend_host):
+      nt4 batch → fused 3-pass SMEM collection → compact SA walk →
+      grouped chaining/filtering worklists → flat banded-SW extension
+      (the single-program variant seedchain.align_regs_jit is kept ONLY
+      for the driver's one-jittable-fn compile check and the
+      test_align_ext oracle cross-check)
   host  (finalize.py / pair.py):
       dedup/patch → [PE: pestat → mate-rescue rounds → pairing] →
       primary marking → record selection & XA phase A
@@ -21,6 +24,8 @@ cuda/batch_config.h:5-13, plays the same role).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +39,7 @@ from bwamem_tpu.io import sam as samio
 from bwamem_tpu.ops import fm as fmops
 from bwamem_tpu.ops import global_sw
 from bwamem_tpu.ops import local_sw
+from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import seedchain
 
@@ -55,17 +61,29 @@ class Aligner:
 
     def __init__(self, idx, opt: MemOptions | None = None, *,
                  seed_cap: int = 256, chain_cap: int = 64,
-                 reg_cap: int = 16, sharding=None):
+                 reg_cap: int = 16, sharding=None, mesh=None):
+        """mesh: a jax.sharding.Mesh → every device stage runs shard-mapped
+        data-parallel over it, index replicated per chip (SURVEY.md §5.8;
+        the reference's one-index-copy-per-GPU upload, cuda/streams.cu:
+        16-104, generalized to a chip mesh)."""
         self.idx = idx
         self.opt = opt or MemOptions()
         self.seed_cap = seed_cap
         self.chain_cap = chain_cap
         self.reg_cap = reg_cap
+        self.mesh = mesh
+        if mesh is not None and sharding is None:
+            sharding = pmesh.replicated(mesh)
         fm_host = fmops.fm_from_index(idx)
         self.fm = fmops.to_device(fm_host, sharding)
         it = idx.itype
-        self.ctg_offsets = jnp.asarray(idx.contig_offsets().astype(it))
-        self.ctg_is_alt = jnp.asarray(idx.is_alt_flags())
+        if sharding is None:
+            self.ctg_offsets = jnp.asarray(idx.contig_offsets().astype(it))
+            self.ctg_is_alt = jnp.asarray(idx.is_alt_flags())
+        else:
+            self.ctg_offsets = jax.device_put(
+                idx.contig_offsets().astype(it), sharding)
+            self.ctg_is_alt = jax.device_put(idx.is_alt_flags(), sharding)
         self.ctg_offsets_np = idx.contig_offsets()
         self.ctg_lens_np = idx.contig_lens()
         self.ctg_is_alt_np = idx.is_alt_flags()
@@ -93,16 +111,23 @@ class Aligner:
             pad = Bp - c
             qc = np.pad(q[sl], ((0, pad), (0, 0)), constant_values=4)
             tc = np.pad(t[sl], ((0, pad), (0, 0)), constant_values=4)
-            res = global_sw.global_align_batch(
+            statics = dict(o_del=self.opt.o_del, e_del=self.opt.e_del,
+                           o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                           w_max=w_max, max_cigar=max_cigar)
+            if self.mesh is None:
+                gfn = functools.partial(global_sw.global_align_batch,
+                                        **statics)
+            else:
+                gfn = pmesh.rowmap(self.mesh, global_sw.global_align_batch,
+                                   tuple(sorted(statics.items())),
+                                   (False,) * 5 + (True,))
+            res = gfn(
                 jnp.asarray(qc), jnp.asarray(np.pad(qlen[sl], (0, pad),
                                                     constant_values=1)),
                 jnp.asarray(tc), jnp.asarray(np.pad(tlen[sl], (0, pad),
                                                     constant_values=1)),
                 jnp.asarray(np.pad(w[sl], (0, pad), constant_values=3)),
-                self._mat,
-                o_del=self.opt.o_del, e_del=self.opt.e_del,
-                o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                w_max=w_max, max_cigar=max_cigar)
+                self._mat)
             outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
         if len(outs) == 1:
             return outs[0]
@@ -123,7 +148,16 @@ class Aligner:
                         constant_values=4)
             tc = np.pad(t[sl], ((0, Bp - c), (0, LT - t.shape[1])),
                         constant_values=4)
-            res = local_sw.ksw_align_batch(
+            statics = dict(o_del=self.opt.o_del, e_del=self.opt.e_del,
+                           o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
+                           max_mat=int(self.opt.a), p=p)
+            if self.mesh is None:
+                kfn = functools.partial(local_sw.ksw_align_batch, **statics)
+            else:
+                kfn = pmesh.rowmap(self.mesh, local_sw.ksw_align_batch,
+                                   tuple(sorted(statics.items())),
+                                   (False,) * 5 + (True,))
+            res = kfn(
                 jnp.asarray(qc),
                 jnp.asarray(np.pad(qlen[sl], (0, Bp - c),
                                    constant_values=0)),
@@ -131,10 +165,7 @@ class Aligner:
                 jnp.asarray(np.pad(tlen[sl], (0, Bp - c),
                                    constant_values=0)),
                 jnp.asarray(np.pad(minsc[sl], (0, Bp - c),
-                                   constant_values=1)), self._mat,
-                o_del=self.opt.o_del, e_del=self.opt.e_del,
-                o_ins=self.opt.o_ins, e_ins=self.opt.e_ins,
-                max_mat=int(self.opt.a), p=p)
+                                   constant_values=1)), self._mat)
             outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
         if len(outs) == 1:
             return outs[0]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bwamem_tpu.config import MemOptions
+from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.finalize import AlnReg
 from bwamem_tpu.ops import extend as extops
@@ -52,10 +53,20 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
     mat = np.frombuffer(mat_bytes, np.int8).reshape(5, 5)
 
     @functools.partial(jax.jit, static_argnames=("lq_max", "t_max"))
-    def fn(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
-           t_start, t_sign, tlen, h0, w, end_bonus, *, lq_max, t_max):
-        B = lane_read.shape[0]
+    def fn(pac, l_pac, seqbatch, packed, *, lq_max, t_max):
+        # ONE [10, B] i64 input per dispatch: every separate host array is
+        # a separate H2D transfer on the tunneled backend (~tens of ms
+        # apiece), which dominated the extension stage
+        (lane_read, q_start, q_sign, qlen, t_start, t_sign, tlen, h0, w,
+         end_bonus) = (packed[i] for i in range(10))
         i32 = jnp.int32
+        lane_read = lane_read.astype(i32)
+        qlen = qlen.astype(i32)
+        tlen = tlen.astype(i32)
+        h0 = h0.astype(i32)
+        w = w.astype(i32)
+        end_bonus = end_bonus.astype(i32)
+        B = packed.shape[1]
         L = seqbatch.shape[1]
         j = jnp.arange(lq_max, dtype=jnp.int64)[None, :]
         qidx = q_start[:, None] + q_sign[:, None] * j
@@ -110,11 +121,18 @@ def _extend_flat_fn_pl(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
     iteration, which multiplied its cost by the row count."""
 
     @functools.partial(jax.jit, static_argnames=("lq_max", "t_max"))
-    def fn(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
-           t_start, t_sign, tlen, h0, w, end_bonus, *, lq_max, t_max):
+    def fn(pac, l_pac, seqbatch, packed, *, lq_max, t_max):
         from bwamem_tpu.ops import pallas_ext
+        (lane_read, q_start, q_sign, qlen, t_start, t_sign, tlen, h0, w,
+         end_bonus) = (packed[i] for i in range(10))
         i32 = jnp.int32
-        B = lane_read.shape[0]
+        lane_read = lane_read.astype(i32)
+        qlen = qlen.astype(i32)
+        tlen = tlen.astype(i32)
+        h0 = h0.astype(i32)
+        w = w.astype(i32)
+        end_bonus = end_bonus.astype(i32)
+        B = packed.shape[1]
         L = seqbatch.shape[1]
         j = jnp.arange(lq_max, dtype=jnp.int64)[:, None]       # [LQ, 1]
         qidx = q_start[None, :] + q_sign[None, :] * j
@@ -171,13 +189,14 @@ class _ExtBatcher:
     whole pipeline before)."""
 
     def __init__(self, opt: MemOptions, mat, end_bonus: int, pac_dev,
-                 l_pac: int, seq_dev):
+                 l_pac: int, seq_dev, mesh=None):
         self.opt = opt
         self.mat = mat
         self.end_bonus = end_bonus
         self.pac_dev = pac_dev
         self.l_pac = l_pac
         self.seq_dev = seq_dev
+        self.mesh = mesh
 
     FIELDS = ("score", "qle", "tle", "gtle", "gscore", "max_off")
 
@@ -192,9 +211,21 @@ class _ExtBatcher:
             return plan
         use_pl = not _shapes._is_cpu()
         make = _extend_flat_fn_pl if use_pl else _extend_flat_fn
-        fn = make(
+        base_fn = make(
             np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
             self.opt.e_del, self.opt.o_ins, self.opt.e_ins, self.opt.zdrop)
+        mesh = getattr(self, "mesh", None)
+        if mesh is None:
+            fn = base_fn
+        else:
+            def fn(*args, lq_max, t_max):
+                # shard SW lanes over the mesh; pac/read batch replicated,
+                # the packed [10, B] lane array split along B
+                f = pmesh.rowmap(mesh, base_fn,
+                                 (("lq_max", lq_max), ("t_max", t_max)),
+                                 (True, True, True, "ax1"),
+                                 stacked_out=True)
+                return f(*args)
         # the (h << 12) | col row-reduction packing in extend_batch needs
         # every reachable score < 2^18; enforce with the concrete inputs
         # instead of trusting the LQ <= 4096 shape assert alone
@@ -233,19 +264,19 @@ class _ExtBatcher:
                 idx = cls_idx[s0:s0 + c]
                 B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=512)
 
-                def pad(a, dt, fill=0):
-                    o = np.full(B, fill, dt)
-                    o[: idx.size] = a[idx]
-                    return jnp.asarray(o)
-
+                # ONE [10, B] H2D transfer per dispatch (separate arrays
+                # each pay the tunnel's per-transfer round trip)
+                packed = np.zeros((10, B), np.int64)
+                packed[2, idx.size:] = 1      # q_sign pad
+                packed[5, idx.size:] = 1      # t_sign pad
+                packed[7, idx.size:] = 1      # h0 pad
+                packed[8, idx.size:] = self.opt.w
+                packed[9] = self.end_bonus
+                for r_, a in enumerate((lane_read, q_start, q_sign, qlen,
+                                        t_start, t_sign, tlen, h0, w)):
+                    packed[r_, : idx.size] = a[idx]
                 res = fn(self.pac_dev, self.l_pac, self.seq_dev,
-                         pad(lane_read, np.int32),
-                         pad(q_start, np.int64), pad(q_sign, np.int64, 1),
-                         pad(qlen, np.int32),
-                         pad(t_start, np.int64), pad(t_sign, np.int64, 1),
-                         pad(tlen, np.int32), pad(h0, np.int32, 1),
-                         pad(w, np.int32, self.opt.w),
-                         jnp.full((B,), self.end_bonus, jnp.int32),
+                         jnp.asarray(packed),
                          lq_max=LQ, t_max=LT)      # [6, B] stacked
                 try:
                     res.copy_to_host_async()
@@ -336,8 +367,9 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     ltl = np.where(s_qb > 0, s_rb - rmax0, 0).astype(np.int32)
     h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
     neg1 = np.full(M, -1, np.int64)
+    mesh = getattr(al, "mesh", None)
     batcherL = _ExtBatcher(opt, mat, opt.pen_clip5, al.fm.pac, l_pac,
-                           seq_dev)
+                           seq_dev, mesh=mesh)
     L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
                           s_rb - 1, neg1, ltl, h0)
 
@@ -360,7 +392,7 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     sc0 = np.maximum(score_l, 1).astype(np.int32)
     pos1 = np.ones(M, np.int64)
     batcherR = _ExtBatcher(opt, mat, opt.pen_clip3, al.fm.pac, l_pac,
-                           seq_dev)
+                           seq_dev, mesh=mesh)
     R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
                           s_rb + s_len, pos1, rtl, sc0)
 

@@ -72,7 +72,12 @@ def align_regs_jit(fm, ctg_offsets, ctg_is_alt, seq, l_seq, *,
                    o_ins, e_ins, zdrop, pen_clip5, pen_clip3, mat_ab,
                    seed_cap=256, chain_cap=64, reg_cap=16,
                    caps=smemops.SeedingCaps()):
-    """Full device front half: reads → alignment regions (pre-dedup)."""
+    """Single-program device front half: reads → alignment regions
+    (pre-dedup).  NOT the production path — kept only for the driver's
+    one-jittable-fn compile check (__graft_entry__.entry) and the
+    test_align_ext oracle cross-check; production runs
+    seeding_host.front_half + extend_host.extend_regions (host-compacted
+    lanes, fewer/bigger dispatches)."""
     from bwamem_tpu.ops import align_ext
     from bwamem_tpu.config import fill_scmat
     res = seed_and_chain(

@@ -31,6 +31,7 @@ from bwamem_tpu.config import MemOptions
 from bwamem_tpu.ops import fm as fmops
 from bwamem_tpu.ops import smem as smemops
 from bwamem_tpu.ops import chain as chainops
+from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import chainflt_host
 from bwamem_tpu.ops import align_ext
@@ -157,11 +158,14 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     slen = (iv_e - iv_s)[owner].astype(np.int32)
 
     # ---- compact device SA walk ----
+    mesh = getattr(al, "mesh", None)
     if M:
         Mp = _shapes.lanes(M, fine_lo=256, coarse_lo=1024)
         rk = np.zeros(Mp, dtype=np.asarray(al.fm.sa).dtype)
         rk[:M] = ranks
-        rbeg = np.asarray(_sa_lookup_jit(al.fm, jnp.asarray(rk)))[:M]
+        sa_fn = (_sa_lookup_jit if mesh is None else
+                 pmesh.rowmap(mesh, _sa_lookup_jit, (), (True, False)))
+        rbeg = np.asarray(sa_fn(al.fm, jnp.asarray(rk)))[:M]
         rbeg = rbeg.astype(np.int64)
     else:
         rbeg = np.zeros(0, np.int64)
@@ -220,14 +224,23 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             len=jnp.asarray(g_len), rid=jnp.asarray(g_rid),
             valid=jnp.asarray(g_valid), frac_rep=jnp.asarray(g_frac),
             overflow=jnp.zeros(Gp, bool))
-        res = _chain_worklist_jit(
-            al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, jnp.asarray(g_l),
+        statics = dict(
             w=opt.w, max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
             min_chain_weight=opt.min_chain_weight,
             max_chain_extend=opt.max_chain_extend,
             min_seed_len=opt.min_seed_len, a=opt.a, o_del=opt.o_del,
             e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins)
+        if mesh is None:
+            res = _chain_worklist_jit(al.fm, al.ctg_offsets, al.ctg_is_alt,
+                                      seeds, jnp.asarray(g_l), **statics)
+        else:
+            fn = pmesh.rowmap(mesh, _chain_worklist_jit,
+                              tuple(sorted(statics.items())),
+                              (True, True, True, False, False),
+                              stacked_out=True)
+            res = fn(al.fm, al.ctg_offsets, al.ctg_is_alt, seeds,
+                     jnp.asarray(g_l))
         for r in res:
             if r is not None:
                 try:
@@ -437,32 +450,48 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     seq_j = jnp.asarray(seq_np)
     l_j = jnp.asarray(l_seq)
     N, Lr = seq_np.shape
+    mesh = getattr(al, "mesh", None)
+    ndev = 1 if mesh is None else mesh.devices.size
+    Nl = N // ndev           # arenas are per shard under a mesh
     hist = getattr(al, "_seed_arena_hist", None)
     if hist is None:
         hist = al._seed_arena_hist = {}
     sizes = {
         "cap": 2 * Lr,
-        "kmax": kmax0 or hist.get(("kmax", N)) or _bucket(N * 16, lo=1024),
-        "emax": emax0 or hist.get(("emax", N)) or _bucket(N * 8, lo=1024),
-        "pmax": hist.get(("pmax", N)) or _bucket(N * 2, lo=256),
+        "kmax": kmax0 or hist.get(("kmax", N)) or _bucket(Nl * 16, lo=1024),
+        "emax": emax0 or hist.get(("emax", N)) or _bucket(Nl * 8, lo=1024),
+        "pmax": hist.get(("pmax", N)) or _bucket(Nl * 2, lo=256),
         "cand2": hist.get(("cand2", N)) or 48,
-        "k2max": hist.get(("k2max", N)) or _bucket(N * 8, lo=1024),
-        "e2max": hist.get(("e2max", N)) or _bucket(N * 4, lo=1024),
+        "k2max": hist.get(("k2max", N)) or _bucket(Nl * 8, lo=1024),
+        "e2max": hist.get(("e2max", N)) or _bucket(Nl * 4, lo=1024),
         "p3cap": hist.get(("p3cap", N)) or 32,
-        "e3max": hist.get(("e3max", N)) or _bucket(N * 2, lo=1024),
+        "e3max": hist.get(("e3max", N)) or _bucket(Nl * 2, lo=1024),
     }
     # k-mer fast-start: only when the index carries the table and the skip
     # is provably exact (min_seed_len >= K, see ops.smem.kmer_pre)
     use_kmer = (al.fm.kmer is not None and getattr(opt, "use_kmer_table", True)
                 and opt.min_seed_len >= smemops.KMER_K)
     while True:
-        out = np.asarray(_collect_all_jit(
-            al.fm, seq_j, l_j, min_seed_len=opt.min_seed_len,
-            split_len=opt.split_len, split_width=opt.split_width,
-            max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer, **sizes))
-        flags = int(out[0, -5])
-        # grow whichever arena overflowed and rerun: dropped-lane output is
-        # incomplete, silently truncating seeds is not an option
+        statics = dict(min_seed_len=opt.min_seed_len,
+                       split_len=opt.split_len,
+                       split_width=opt.split_width,
+                       max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer,
+                       **sizes)
+        if mesh is None:
+            out = np.asarray(_collect_all_jit(al.fm, seq_j, l_j, **statics))
+        else:
+            # shard-local arenas per chip; one program, one fetch
+            fn = pmesh.rowmap(mesh, _collect_all_jit,
+                              tuple(sorted(statics.items())),
+                              (True, False, False), stacked_out=True)
+            out = np.asarray(fn(al.fm, seq_j, l_j))
+        shards = out.reshape(5, ndev, out.shape[1] // ndev)
+        flags = 0
+        for sh in range(ndev):
+            flags |= int(shards[0, sh, -5])
+        # grow whichever arena overflowed (in any shard) and rerun:
+        # dropped-lane output is incomplete, silently truncating seeds is
+        # not an option
         retry = False
         for bit, name in enumerate(_GROW_BITS):
             if (flags >> bit) & 1:
@@ -474,11 +503,20 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                  "p3cap", "e3max"):
         if not (kmax0 and name in ("kmax", "emax")):
             hist[(name, N)] = sizes[name]
-    n1, n2, n3 = (int(out[0, -8]), int(out[0, -7]), int(out[0, -6]))
     o1 = sizes["emax"]
     o2 = o1 + sizes["e2max"]
-    allv = np.concatenate([out[:, :n1], out[:, o1:o1 + n2],
-                           out[:, o2:o2 + n3]], axis=1)
+    Nl = N // ndev
+    parts = []
+    for sh in range(ndev):
+        o = shards[:, sh, :]
+        n1, n2, n3 = int(o[0, -8]), int(o[0, -7]), int(o[0, -6])
+        p = np.concatenate([o[:, :n1], o[:, o1:o1 + n2],
+                            o[:, o2:o2 + n3]], axis=1)
+        if sh:
+            p = p.copy()
+            p[0] += sh * Nl      # shard-local read rows → batch rows
+        parts.append(p)
+    allv = parts[0] if ndev == 1 else np.concatenate(parts, axis=1)
     read_iv = allv[0].astype(np.int32)
     start = allv[1].astype(np.int64)
     end = allv[2].astype(np.int64)

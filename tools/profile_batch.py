@@ -18,27 +18,17 @@ sys.path.insert(0, str(REPO / "tools"))
 import numpy as np  # noqa: E402
 
 
-def main():
-    import os
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          str(REPO / ".jaxcache"))
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    from bwamem_tpu.index import BwaIndex
-    from bwamem_tpu.io.fastq import read_fastx, pack_batch
-    from bwamem_tpu.pipeline.align import Aligner, _bucket
-    from bwamem_tpu.pipeline import extend_host
+def profile_phases(al, reads, reps: int = 2, warmup: bool = True) -> dict:
+    """Per-phase wall seconds over `reps` repetitions of one batch.  Keys
+    mirror the reference's perf_profile.txt stages (SMEM_CHN / BSW / SAM,
+    cuda/superbatch_process.cpp:11) at our stage granularity."""
+    from bwamem_tpu.io.fastq import pack_batch
+    from bwamem_tpu.pipeline.align import _bucket
+    from bwamem_tpu.pipeline import extend_host, seeding_host
     from bwamem_tpu import finalize as fin
     import jax
 
-    prefix = str(REPO / ".benchdata" / "g5000000")
-    idx = BwaIndex.load(prefix + ".ours")
-    reads = []
-    for i, r in enumerate(read_fastx(prefix + ".fq")):
-        if i >= n:
-            break
-        reads.append(r)
-    al = Aligner(idx)
-
+    n = len(reads)
     t = {}
 
     def clock(name, fn, *a, **kw):
@@ -49,14 +39,13 @@ def main():
         t[name] = t.get(name, 0) + time.perf_counter() - t0
         return out
 
-    # warmup (compile)
-    t0 = time.perf_counter()
-    al.align_batch_se(reads[:n], 0)
-    print(f"warmup+compile: {time.perf_counter() - t0:.2f}s")
+    if warmup:
+        t0 = time.perf_counter()
+        al.align_batch_se(reads[:n], 0)
+        print(f"warmup+compile: {time.perf_counter() - t0:.2f}s",
+              file=sys.stderr)
 
-    from bwamem_tpu.pipeline import seeding_host
-
-    for rep in range(2):
+    for rep in range(reps):
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
@@ -110,6 +99,28 @@ def main():
 
         clock("6.render_sam", render)
 
+    return t
+
+
+def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(REPO / ".jaxcache"))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    from bwamem_tpu.index import BwaIndex
+    from bwamem_tpu.io.fastq import read_fastx
+    from bwamem_tpu.pipeline.align import Aligner
+
+    prefix = str(REPO / ".benchdata" / "g5000000")
+    idx = BwaIndex.load(prefix + ".ours")
+    reads = []
+    for i, r in enumerate(read_fastx(prefix + ".fq")):
+        if i >= n:
+            break
+        reads.append(r)
+    al = Aligner(idx)
+
+    t = profile_phases(al, reads, reps=2)
     total = sum(t.values())
     print(f"\n=== {n} reads × 2 reps ===")
     for k in sorted(t):
