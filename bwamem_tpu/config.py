@@ -93,7 +93,14 @@ class MemOptions:
     # ----- derived -----
     @property
     def mat(self) -> np.ndarray:
-        return fill_scmat(self.a, self.b)
+        # memoized on (a, b): this property is consulted per record in the
+        # host finalization loops, and rebuilding 25 cells per call showed
+        # up in the batch profile
+        key = (self.a, self.b)
+        cached = self.__dict__.get("_mat_cache")
+        if cached is None or cached[0] != key:
+            self.__dict__["_mat_cache"] = (key, fill_scmat(self.a, self.b))
+        return self.__dict__["_mat_cache"][1]
 
     @property
     def split_len(self) -> int:

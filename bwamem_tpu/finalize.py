@@ -94,6 +94,31 @@ def get_seq_np(pac: np.ndarray, l_pac: int, rb: int, re: int) -> np.ndarray:
     return (3 - b).astype(np.uint8) if comp else b.astype(np.uint8)
 
 
+def get_seq_many(pac: np.ndarray, l_pac: int, rb: np.ndarray,
+                 re: np.ndarray) -> list[np.ndarray]:
+    """Batched get_seq_np over many [rb, re) windows: ONE flat pac gather
+    for all windows (per-window np.arange/gather overhead dominated
+    CigarJob.prepare in the batch profile).  Positionally, base i of window
+    w is the both-strands base at rb[w]+i — identical to get_seq_np for
+    windows that do not straddle l_pac (asserted upstream: an AlnReg never
+    straddles)."""
+    rb = np.asarray(rb, np.int64)
+    lens = np.asarray(re, np.int64) - rb
+    lens = np.maximum(lens, 0)
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    if total == 0:
+        return [np.zeros(0, np.uint8) for _ in lens]
+    pos = np.arange(total, dtype=np.int64) + np.repeat(rb - off[:-1], lens)
+    is_rev = pos >= l_pac
+    fpos = np.where(is_rev, 2 * l_pac - 1 - pos, pos)
+    fpos = np.clip(fpos, 0, l_pac - 1)
+    b = (pac[fpos >> 2] >> (((~fpos) & 3) << 1).astype(np.uint8)) & 3
+    flat = np.where(is_rev, 3 - b, b).astype(np.uint8)
+    return [flat[off[w]:off[w + 1]] for w in range(len(lens))]
+
+
 # ------------------------------------------------- host banded global score
 
 def ksw_global_score_np(q: np.ndarray, t: np.ndarray, w: int,
@@ -411,7 +436,10 @@ class CigarJob:
     qseg: np.ndarray = None    # query[qb:qe], reversed if rev
     rseq: np.ndarray = None    # fetched ref, reversed if rev
 
-    def prepare(self, opt: MemOptions, pac: np.ndarray, l_pac: int):
+    def prepare(self, opt: MemOptions, pac: np.ndarray, l_pac: int,
+                rseq: Optional[np.ndarray] = None):
+        """rseq: prefetched reference window (get_seq_many) — run_cigar_jobs
+        batches the pac gather across all jobs; None fetches here."""
         ar = self.reg
         tmp = infer_bw(ar.qe - ar.qb, ar.re - ar.rb, ar.truesc, opt.a,
                        opt.o_del, opt.e_del)
@@ -421,7 +449,8 @@ class CigarJob:
         if self.w2 > opt.w:
             self.w2 = min(self.w2, ar.w)
         qseg = self.query[ar.qb:ar.qe]
-        rseq = get_seq_np(pac, l_pac, ar.rb, ar.re)
+        if rseq is None:
+            rseq = get_seq_np(pac, l_pac, ar.rb, ar.re)
         assert len(rseq) == ar.re - ar.rb
         if ar.rb >= l_pac:
             qseg = qseg[::-1]
@@ -443,8 +472,13 @@ def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
     every pending job runs one banded global alignment per round on device;
     jobs whose score converged (score == last_sc or band maxed) retire.
     device_global(query, qlen, target, tlen, w, w_max) -> GlobalResult."""
-    for j in jobs:
-        j.prepare(opt, pac, l_pac)
+    rseqs = get_seq_many(pac, l_pac,
+                         np.fromiter((j.reg.rb for j in jobs), np.int64,
+                                     len(jobs)),
+                         np.fromiter((j.reg.re for j in jobs), np.int64,
+                                     len(jobs)))
+    for j, rs in zip(jobs, rseqs):
+        j.prepare(opt, pac, l_pac, rseq=rs)
     for _ in range(4):
         live = [j for j in jobs if not j.done]
         if not live:

@@ -411,32 +411,51 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     n_w = np.maximum(aw0, aw1)
 
     # ---- sequential replay (skip/accept, bwamem.c:674-713) ----
-    item_of = {}
-    for m in range(M):
-        item_of[(int(ii[m]), int(kk[m]))] = m
+    # items are emitted grouped by read in k order, so item m of read i is
+    # base[i] + k; per-item state is pulled into Python lists ONCE (scalar
+    # numpy indexing per item dominated this loop in the batch profile)
+    base = np.zeros(n + 1, np.int64)
+    np.cumsum(np.asarray(n_items[:n], np.int64), out=base[1:])
+
+    # seedcov (bwamem.c:781-786) for every item, vectorized: [M, S] seed
+    # table gathered per item vs its own extended region bounds; it depends
+    # only on the extension result, not on accept/skip decisions
+    sd_qb_a = wr.seeds.qbeg[ii].astype(np.int64)          # [M, S]
+    sd_len_a = wr.seeds.len[ii].astype(np.int64)
+    sd_rb_a = wr.seeds.rbeg[ii].astype(np.int64)
+    in_ch_a = wr.seeds.valid[ii] & (wr.seed_chain[ii] == chn[:, None])
+    cov_a = ((sd_qb_a >= n_qb[:, None])
+             & (sd_qb_a + sd_len_a <= n_qe[:, None])
+             & (sd_rb_a >= n_rb[:, None])
+             & (sd_rb_a + sd_len_a <= n_re[:, None]) & in_ch_a)
+    seedcov_a = np.where(cov_a, sd_len_a, 0).sum(axis=1).tolist()
+
+    s_rb_l, s_qb_l, s_len_l = s_rb.tolist(), s_qb.tolist(), s_len.tolist()
+    n_qb_l, n_rb_l = n_qb.tolist(), n_rb.tolist()
+    n_qe_l, n_re_l = n_qe.tolist(), n_re.tolist()
+    score_l_, truesc_l_, n_w_l = score_f.tolist(), truesc_f.tolist(), \
+        np.asarray(n_w).tolist()
+    rid_l, chn_l = rid.tolist(), chn.tolist()
+    frac_rep_raw = wr.seeds.frac_rep[:n].tolist()
 
     for i in range(n):
         c = int(n_items[i])
         if c == 0:
             continue
+        b0 = int(base[i])
         lq = reads[i].l_seq
-        sd_qb = wr.seeds.qbeg[i].astype(np.int64)
-        sd_rb = wr.seeds.rbeg[i].astype(np.int64)
-        sd_len = wr.seeds.len[i].astype(np.int64)
         # per-chain srt bookkeeping: worklist items of one chain appear in
         # srt-descending order; exception scan looks at EARLIER (longer)
         # items of the same chain whose mark is still set
-        marks = {}           # work index -> alive (srt[k] != 0)
+        marks = [True] * c
         chain_items = {}     # chain -> [work indices in order]
         for k in range(c):
-            ch = int(wr.wl_chain[i, k])
-            chain_items.setdefault(ch, []).append(k)
-            marks[k] = True
+            chain_items.setdefault(chn_l[b0 + k], []).append(k)
         regs = regs_out[i]
-        frac_rep = float(wr.seeds.frac_rep[i]) / max(lq, 1)
+        frac_rep = float(frac_rep_raw[i]) / max(lq, 1)
         for k in range(c):
-            m = item_of[(i, k)]
-            srb, sqb, slen = int(s_rb[m]), int(s_qb[m]), int(s_len[m])
+            m = b0 + k
+            srb, sqb, slen = s_rb_l[m], s_qb_l[m], s_len_l[m]
             hit = -1
             for p in regs:
                 if srb < p.rb or srb + slen > p.re or sqb < p.qb or \
@@ -456,15 +475,14 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
                     break
             if hit >= 0:
                 # overlapping-seed exception (bwamem.c:699-711)
-                mates = chain_items[int(wr.wl_chain[i, k])]
+                mates = chain_items[chn_l[m]]
                 pos = mates.index(k)
                 differs = False
                 for k2 in mates[:pos][::-1]:   # earlier = longer, srt asc
                     if not marks[k2]:
                         continue
-                    m2 = item_of[(i, k2)]
-                    tq, tr, tl_ = int(s_qb[m2]), int(s_rb[m2]), \
-                        int(s_len[m2])
+                    m2 = b0 + k2
+                    tq, tr, tl_ = s_qb_l[m2], s_rb_l[m2], s_len_l[m2]
                     if tl_ < slen * .95:
                         continue
                     if sqb <= tq and sqb + slen - tq >= slen >> 2 and \
@@ -479,19 +497,14 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
                     marks[k] = False
                     continue
             r = AlnReg()
-            r.rid = int(rid[m])
-            r.qb, r.rb = int(n_qb[m]), int(n_rb[m])
-            r.qe, r.re = int(n_qe[m]), int(n_re[m])
-            r.score = int(score_f[m])
-            r.truesc = int(truesc_f[m])
-            r.w = int(n_w[m])
+            r.rid = rid_l[m]
+            r.qb, r.rb = n_qb_l[m], n_rb_l[m]
+            r.qe, r.re = n_qe_l[m], n_re_l[m]
+            r.score = score_l_[m]
+            r.truesc = truesc_l_[m]
+            r.w = n_w_l[m]
             r.seedlen0 = slen
             r.frac_rep = frac_rep
-            # seedcov over the whole chain (bwamem.c:781-786)
-            in_ch = wr.seeds.valid[i] & \
-                (wr.seed_chain[i] == wr.wl_chain[i, k])
-            cov = ((sd_qb >= r.qb) & (sd_qb + sd_len <= r.qe)
-                   & (sd_rb >= r.rb) & (sd_rb + sd_len <= r.re) & in_ch)
-            r.seedcov = int(sd_len[cov].sum())
+            r.seedcov = seedcov_a[m]
             regs.append(r)
     return regs_out

@@ -106,6 +106,10 @@ def main():
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           str(REPO / ".jaxcache"))
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon PJRT plugin ignores the env var; force via config API
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     from bwamem_tpu.index import BwaIndex
     from bwamem_tpu.io.fastq import read_fastx
