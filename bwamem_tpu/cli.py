@@ -195,12 +195,12 @@ def cmd_mem(argv: list[str]) -> int:
         sys.stderr.write(
             "Usage: bwamem_tpu mem [options] <idxbase> <in1.fq> [in2.fq]\n")
         return 1
-    from bwamem_tpu.index import BwaIndex
+    from bwamem_tpu.index import load_index
     from bwamem_tpu.io import sam as samio
     from bwamem_tpu.io.fastq import read_fastx, interleave, batches
     from bwamem_tpu.pipeline.align import Aligner
 
-    idx = BwaIndex.load(args[0])
+    idx = load_index(args[0])
     if x["ignore_alt"]:
         for c in idx.contigs:
             c.is_alt = 0
@@ -316,13 +316,13 @@ def cmd_fastmap(argv: list[str]) -> int:
         sys.stderr.write("Usage: bwamem_tpu fastmap [options] "
                          "<idxbase> <in.fq>\n")
         return 1
-    from bwamem_tpu.index import BwaIndex
+    from bwamem_tpu.index import load_index
     from bwamem_tpu.io.fastq import read_fastx, batches, pack_batch
     from bwamem_tpu.ops import fm as fmops
     from bwamem_tpu.ops import smem as smemops
     from bwamem_tpu.pipeline import seeding_host as sh
 
-    idx = BwaIndex.load(args[0])
+    idx = load_index(args[0])
     fm = fmops.to_device(fmops.fm_from_index(idx))
     it = np.asarray(fm.L2).dtype
     offs = idx.contig_offsets()
@@ -423,10 +423,107 @@ def cmd_fastmap(argv: list[str]) -> int:
     return 0
 
 
+def cmd_pemerge(argv: list[str]) -> int:
+    """Overlap-merge read pairs (main_pemerge, pemerge.c:217-291)."""
+    from bwamem_tpu import pemerge as pm
+    from bwamem_tpu.io.fastq import read_fastx, interleave
+    opt = pm.PemOptions()
+    flag, min_ovlp = 0, 10
+    try:
+        opts, args = getopt_mod.getopt(argv, "muQ:t:T:")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::pemerge] {e}")
+    for c, v in opts:
+        if c == "-m":
+            flag |= 1
+        elif c == "-u":
+            flag |= 2
+        elif c == "-Q":
+            opt.q_thres = int(v)
+        elif c == "-t":
+            opt.n_threads = int(v)
+        elif c == "-T":
+            min_ovlp = int(v)
+    opt.flag = flag if flag else 3
+    opt.T = opt.a * min_ovlp
+    if not args:
+        sys.stderr.write(
+            "\nUsage:   bwamem_tpu pemerge [-mu] <read1.fq> [read2.fq]\n\n"
+            "Options: -m       output merged reads only\n"
+            "         -u       output unmerged reads only\n"
+            f"         -t INT   number of threads [{opt.n_threads}]\n"
+            f"         -T INT   minimum end overlap [{min_ovlp}]\n"
+            f"         -Q INT   max sum of errors [{opt.q_thres}]\n\n")
+        return 1
+    if len(args) >= 2:
+        it = interleave(read_fastx(args[0]), read_fastx(args[1]))
+        trim = False                     # interleave already trimmed
+    else:
+        it = read_fastx(args[0])
+        trim = True
+
+    def pair_iter():
+        prev = None
+        for r in it:
+            # trim_readno (bwa.c:73-77) also applies to single-file input
+            if trim and len(r.name) > 2 and r.name[-2] == "/" and \
+                    r.name[-1].isdigit():
+                r.name = r.name[:-2]
+            if prev is None:
+                prev = r
+            else:
+                yield prev, r
+                prev = None
+
+    pm.run_pemerge(opt, pair_iter())
+    return 0
+
+
+def cmd_shm(argv: list[str]) -> int:
+    """Stage/list/drop shared-memory index copies (main_shm,
+    bwashm.c:179-213)."""
+    from bwamem_tpu.index import shm
+    to_list = to_drop = force = False
+    try:
+        opts, args = getopt_mod.getopt(argv, "ldf")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::shm] {e}")
+    for c, _ in opts:
+        if c == "-l":
+            to_list = True
+        elif c == "-d":
+            to_drop = True
+        elif c == "-f":
+            force = True
+    if to_list:
+        for p in shm.list_staged():
+            sys.stdout.write(p + "\n")
+        return 0
+    if to_drop:
+        n = shm.destroy(args[0] if args else None)
+        sys.stderr.write(f"[M::shm] dropped {n} staged index(es)\n")
+        return 0
+    if not args:
+        sys.stderr.write(
+            "Usage: bwamem_tpu shm [-d|-l|-f] [idxbase]\n"
+            "  stage <idxbase> into shared memory; -l list; -d drop\n")
+        return 1
+    if shm.test(args[0]) and not force:
+        sys.stderr.write(f"[M::shm] index '{args[0]}' is already in "
+                         "shared memory\n")
+        return 0
+    path = shm.stage(args[0], force=force)
+    sz = __import__("os").path.getsize(path)
+    sys.stderr.write(f"[M::shm] staged '{args[0]}' "
+                     f"({sz / 1e6:.1f} MB) at {path}\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        sys.stderr.write("Usage: bwamem_tpu <mem|index|fastmap> [options]\n")
+        sys.stderr.write(
+            "Usage: bwamem_tpu <mem|index|fastmap|pemerge|shm> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
@@ -435,6 +532,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_index(rest)
     if cmd == "fastmap":
         return cmd_fastmap(rest)
+    if cmd == "pemerge":
+        return cmd_pemerge(rest)
+    if cmd == "shm":
+        return cmd_shm(rest)
     sys.stderr.write(f"[E::main] unknown command '{cmd}'\n")
     return 1
 

@@ -439,6 +439,8 @@ static int cmd_fastmap(int argc, char *argv[])
     return 0;
 }
 
+int main_pemerge(int argc, char *argv[]);  /* pemerge.c:217 */
+
 int main(int argc, char *argv[])
 {
     if (argc >= 2 && strcmp(argv[1], "fastmap") == 0) return cmd_fastmap(argc-1, argv+1);
@@ -451,5 +453,6 @@ int main(int argc, char *argv[])
     if (strcmp(argv[1], "extregs") == 0) return cmd_extregs(argc-1, argv+1);
     if (strcmp(argv[1], "chains") == 0) return cmd_chains(argc-1, argv+1);
     if (strcmp(argv[1], "chains0") == 0) return cmd_chains0(argc-1, argv+1);
+    if (strcmp(argv[1], "pemerge") == 0) return main_pemerge(argc-1, argv+1);
     return usage();
 }
