@@ -519,11 +519,176 @@ def cmd_shm(argv: list[str]) -> int:
     return 0
 
 
+def cmd_aln(argv: list[str]) -> int:
+    """Legacy bounded-diff aligner (bwa_aln, bwtaln.c:230-321)."""
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.legacy import aln as la
+    opt = la.GapOptions()
+    opte = -1
+    out_path = None
+    try:
+        opts, args = getopt_mod.getopt(argv, "n:o:e:i:d:l:k:LR:m:t:NM:O:E:"
+                                             "q:f:b012IYB:")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::aln] {e}")
+    for c, v in opts:
+        c = c[1:]
+        if c == "n":
+            if "." in v:
+                opt.fnr, opt.max_diff = float(v), -1
+            else:
+                opt.max_diff, opt.fnr = int(v), -1.0
+        elif c == "o":
+            opt.max_gapo = int(v)
+        elif c == "e":
+            opte = int(v)
+        elif c == "M":
+            opt.s_mm = int(v)
+        elif c == "O":
+            opt.s_gapo = int(v)
+        elif c == "E":
+            opt.s_gape = int(v)
+        elif c == "d":
+            opt.max_del_occ = int(v)
+        elif c == "i":
+            opt.indel_end_skip = int(v)
+        elif c == "l":
+            opt.seed_len = int(v)
+        elif c == "k":
+            opt.max_seed_diff = int(v)
+        elif c == "m":
+            opt.max_entries = int(v)
+        elif c == "t":
+            opt.n_threads = int(v)
+        elif c == "L":
+            opt.mode |= la.BWA_MODE_LOGGAP
+        elif c == "R":
+            opt.max_top2 = int(v)
+        elif c == "q":
+            opt.trim_qual = int(v)
+        elif c == "N":
+            opt.mode |= la.BWA_MODE_NONSTOP
+            opt.max_top2 = 0x7fffffff
+        elif c == "f":
+            out_path = v
+        elif c in ("b", "0", "1", "2", "I", "Y", "B"):
+            sys.stderr.write(f"[W::aln] -{c} not supported\n")
+            return 1
+    if opte > 0:
+        opt.max_gape = opte
+        opt.mode &= ~la.BWA_MODE_GAPE
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwamem_tpu aln [options] <prefix> "
+                         "<in.fq>\n")
+        return 1
+    if opt.fnr > 0.0:
+        k = 0
+        for i in range(17, 251):
+            l = la.cal_maxdiff(i, la.BWA_AVG_ERR, opt.fnr)
+            if l != k:
+                sys.stderr.write(f"[bwa_aln] {i}bp reads: max_diff = {l}\n")
+            k = l
+    idx = load_index(args[0])
+    out = open(out_path, "wb") if out_path else sys.stdout.buffer
+    try:
+        la.aln_core(idx, args[1], opt, out)
+    finally:
+        if out_path:
+            out.close()
+    return 0
+
+
+def cmd_samse(argv: list[str]) -> int:
+    """bwa_sai2sam_se (bwase.c:585-611)."""
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.legacy import samse as ls
+    n_occ = 3
+    rg_line = rg_id = out_path = None
+    try:
+        opts, args = getopt_mod.getopt(argv, "hn:f:r:")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::samse] {e}")
+    for c, v in opts:
+        if c == "-n":
+            n_occ = int(v)
+        elif c == "-f":
+            out_path = v
+        elif c == "-r":
+            rg_line = v.replace("\\t", "\t")
+            for f_ in rg_line.split("\t"):
+                if f_.startswith("ID:"):
+                    rg_id = f_[3:]
+    if len(args) < 3:
+        sys.stderr.write("Usage: bwamem_tpu samse [-n max_occ] [-f out.sam]"
+                         " [-r RG_line] <prefix> <in.sai> <in.fq>\n")
+        return 1
+    idx = load_index(args[0])
+    seed = ls.ann_seed(args[0])
+    out = open(out_path, "w") if out_path else sys.stdout
+    try:
+        ls.samse_core(idx, args[1], args[2], n_occ, rg_line, rg_id, out,
+                      seed=seed)
+    finally:
+        if out_path:
+            out.close()
+    return 0
+
+
+def cmd_sampe(argv: list[str]) -> int:
+    """bwa_sai2sam_pe (bwape.c:733-784)."""
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.legacy import samse as ls
+    from bwamem_tpu.legacy import sampe as lp
+    popt = lp.PeOptions()
+    rg_line = rg_id = out_path = None
+    try:
+        opts, args = getopt_mod.getopt(argv, "a:o:sPn:N:c:f:Ar:")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::sampe] {e}")
+    for c, v in opts:
+        if c == "-a":
+            popt.max_isize = int(v)
+        elif c == "-o":
+            popt.max_occ = int(v)
+        elif c == "-s":
+            popt.is_sw = 0
+        elif c == "-n":
+            popt.n_multi = int(v)
+        elif c == "-N":
+            popt.N_multi = int(v)
+        elif c == "-c":
+            popt.ap_prior = float(v)
+        elif c == "-f":
+            out_path = v
+        elif c == "-A":
+            popt.force_isize = 1
+        elif c == "-r":
+            rg_line = v.replace("\\t", "\t")
+            for f_ in rg_line.split("\t"):
+                if f_.startswith("ID:"):
+                    rg_id = f_[3:]
+    if len(args) < 5:
+        sys.stderr.write("Usage: bwamem_tpu sampe [options] <prefix> "
+                         "<in1.sai> <in2.sai> <in1.fq> <in2.fq>\n")
+        return 1
+    idx = load_index(args[0])
+    seed = ls.ann_seed(args[0])
+    out = open(out_path, "w") if out_path else sys.stdout
+    try:
+        lp.sampe_core(idx, args[1], args[2], args[3], args[4], popt,
+                      rg_line, rg_id, out, sys.stderr, seed=seed)
+    finally:
+        if out_path:
+            out.close()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         sys.stderr.write(
-            "Usage: bwamem_tpu <mem|index|fastmap|pemerge|shm> [options]\n")
+            "Usage: bwamem_tpu <mem|aln|samse|sampe|index|fastmap|pemerge"
+            "|shm> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
@@ -536,6 +701,12 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_pemerge(rest)
     if cmd == "shm":
         return cmd_shm(rest)
+    if cmd == "aln":
+        return cmd_aln(rest)
+    if cmd == "samse":
+        return cmd_samse(rest)
+    if cmd == "sampe":
+        return cmd_sampe(rest)
     sys.stderr.write(f"[E::main] unknown command '{cmd}'\n")
     return 1
 
