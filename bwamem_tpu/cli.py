@@ -391,13 +391,15 @@ def cmd_fastmap(argv: list[str]) -> int:
             sq = "".join("ACGTN"[b] for b in r.seq)
             extra = f"\t{sq}" if print_seq else ""
             sys.stdout.write(f"SQ\t{r.name}\t{r.l_seq}{extra}\n")
-            # per-pivot groups, slots reversed → start ascending
+            # per-pivot groups; emitted slots are already start-ascending
+            # (back-extension start is non-decreasing in forward end), which
+            # is the reference's order after bwt_reverse_intvs (bwt.c:346)
             k = 0
             while k < cnt[i]:
                 j = k
                 while j < cnt[i] and c1.pivot[i, j] == c1.pivot[i, k]:
                     j += 1
-                for slot in range(j - 1, k - 1, -1):
+                for slot in range(k, j):
                     if not emit[i, slot]:
                         continue
                     st, en = int(s[i, slot]), int(c1.end[i, slot])
@@ -420,6 +422,89 @@ def cmd_fastmap(argv: list[str]) -> int:
                     sys.stdout.write("".join(line) + "\n")
                 k = j
             sys.stdout.write("//\n")
+    return 0
+
+
+def cmd_maxk(argv: list[str]) -> int:
+    """Max exact-match length histogram (main_maxk, maxk.c:12-67): for every
+    base of the input, the length of the longest SMEM covering it (clamped
+    to 255); prints the 256-bin histogram."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    self_mode = False
+    try:
+        opts, args = getopt_mod.getopt(argv, "s")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::maxk] {e}")
+    for c, _ in opts:
+        if c == "-s":
+            self_mode = True
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwamem_tpu maxk [-s] <index.prefix> "
+                         "<seq.fa>\n")
+        return 1
+    min_intv = 2 if self_mode else 1   # smem_config(itr,2,INT_MAX,0)
+    # the reference passes its first arg straight to bwt_restore_bwt
+    # (maxk.c:31), i.e. it is the .bwt FILE; accept that or a bare prefix
+    if args[0].endswith(".bwt"):
+        args[0] = args[0][: -len(".bwt")]
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.io.fastq import read_fastx, batches, pack_batch
+    from bwamem_tpu.ops import fm as fmops
+    from bwamem_tpu.ops import smem as smemops
+    from bwamem_tpu.pipeline import seeding_host as sh
+
+    idx = load_index(args[0])
+    fm = fmops.to_device(fmops.fm_from_index(idx))
+    it = np.asarray(fm.L2).dtype
+    hist = np.zeros(256, np.int64)
+
+    for batch in batches(read_fastx(args[1]), 4096):
+        n = len(batch)
+        N = sh._bucket(n, lo=8)
+        L = sh._bucket(max(r.l_seq for r in batch), lo=32)
+        seq, l_seq = pack_batch(batch, N, L)
+        caps = smemops.SeedingCaps(cand1=2 * L)
+        c1 = sh._fwd_scan_jit(fm, jnp.asarray(seq), jnp.asarray(l_seq),
+                              jnp.zeros((N,), np.int32),
+                              jnp.full((N,), min_intv, it),
+                              cap=caps.cand1, multi_pivot=True)
+        c1 = jax.tree.map(np.asarray, c1)
+        cnt = c1.n[:n]
+        rows, slots = np.nonzero(np.arange(caps.cand1)[None, :]
+                                 < cnt[:, None])
+        M = rows.size
+        s = np.zeros((n, caps.cand1), np.int32)
+        if M:
+            Mp = sh._bucket(M, lo=256)
+            lr = np.zeros(Mp, np.int32)
+            pv = np.zeros(Mp, np.int32)
+            bx = [np.zeros(Mp, it) for _ in range(3)]
+            mi = np.full(Mp, min_intv, it)
+            va = np.zeros(Mp, bool)
+            lr[:M] = rows
+            pv[:M] = c1.pivot[rows, slots]
+            bx[0][:M] = c1.x0[rows, slots]
+            bx[1][:M] = c1.x1[rows, slots]
+            bx[2][:M] = c1.x2[rows, slots]
+            va[:M] = True
+            sf, _x0f, _x2f = (np.asarray(x)[:M] for x in sh._back_flat_jit(
+                fm, jnp.asarray(seq), jnp.asarray(lr), jnp.asarray(pv),
+                jnp.asarray(bx[0]), jnp.asarray(bx[1]), jnp.asarray(bx[2]),
+                jnp.asarray(mi), jnp.asarray(va)))
+            s[rows, slots] = sf
+        emit = sh._emit_np(c1.pivot[:n], s, c1.end[:n], cnt, caps.cand1)
+        for i in range(n):
+            ln = int(l_seq[i])
+            cov = np.zeros(ln, np.uint8)
+            for slot in np.nonzero(emit[i])[0]:
+                st, en = int(s[i, slot]), int(c1.end[i, slot])
+                l = min(en - st, 255)
+                np.maximum(cov[st:en], l, out=cov[st:en])
+            hist += np.bincount(cov, minlength=256)
+    for i in range(256):
+        sys.stdout.write(f"{i}\t{int(hist[i])}\n")
     return 0
 
 
@@ -687,8 +772,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         sys.stderr.write(
-            "Usage: bwamem_tpu <mem|aln|samse|sampe|index|fastmap|pemerge"
-            "|shm> [options]\n")
+            "Usage: bwamem_tpu <mem|aln|samse|sampe|index|fastmap|maxk"
+            "|pemerge|shm> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
@@ -697,6 +782,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_index(rest)
     if cmd == "fastmap":
         return cmd_fastmap(rest)
+    if cmd == "maxk":
+        return cmd_maxk(rest)
     if cmd == "pemerge":
         return cmd_pemerge(rest)
     if cmd == "shm":

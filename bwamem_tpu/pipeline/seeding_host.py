@@ -58,6 +58,37 @@ def _sa_lookup_jit(fm, ranks):
     return fmops.sa_lookup(fm, ranks)
 
 
+# Standalone single-pass scan wrappers.  The production mem pipeline uses
+# the fused _collect_all_jit below; these remain the building blocks for
+# the SMEM-enumeration CLI tools (fastmap, maxk — fastmap.c:324, maxk.c:12),
+# which need raw per-pivot SMEMs rather than the 3-pass seeding output.
+
+@functools.partial(jax.jit, static_argnames=("cap", "multi_pivot"))
+def _fwd_scan_jit(fm, seq, l_seq, start, min_intv, *, cap, multi_pivot):
+    return smemops.forward_scan(fm, seq, l_seq, start, min_intv, cap,
+                                multi_pivot=multi_pivot)
+
+
+@jax.jit
+def _back_flat_jit(fm, seq, lane_read, pivot, x0, x1, x2, min_intv, valid):
+    return smemops.back_extend_flat(fm, seq, lane_read, pivot, x0, x1, x2,
+                                    min_intv, valid)
+
+
+def _emit_np(pivot, s, end, n, cap):
+    """bwt_smem1a emission rule on host (see smem.emit_mask)."""
+    C = cap
+    slots = np.arange(C)[None, :]
+    valid = slots < n[:, None]
+    nxt_same = np.concatenate([pivot[:, 1:] == pivot[:, :-1],
+                               np.zeros((pivot.shape[0], 1), bool)], axis=1)
+    nxt_valid = np.concatenate([slots[:, 1:] < n[:, None],
+                                np.zeros((pivot.shape[0], 1), bool)], axis=1)
+    s_next = np.concatenate([s[:, 1:], s[:, :1]], axis=1)
+    last = ~(nxt_same & nxt_valid)
+    return valid & (last | (s < s_next))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "w", "max_chain_gap", "mask_level", "drop_ratio", "min_chain_weight",
     "max_chain_extend", "min_seed_len", "a", "o_del", "e_del", "o_ins",
