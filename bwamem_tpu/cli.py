@@ -683,6 +683,76 @@ def cmd_aln(argv: list[str]) -> int:
     return 0
 
 
+def cmd_bwasw(argv: list[str]) -> int:
+    """BWA-SW long-read aligner (bwa_bwtsw2, bwtsw2_main.c:11-89)."""
+    from bwamem_tpu.index import load_index
+    from bwamem_tpu.bwasw import Bsw2Options, bsw2_aln
+    opt = Bsw2Options()
+    out_path = None
+    try:
+        opts, args = getopt_mod.getopt(argv,
+                                       "q:r:a:b:t:T:w:d:z:m:s:c:N:Hf:MI:SG:C")
+    except getopt_mod.GetoptError as e:
+        raise SystemExit(f"[E::bwasw] {e}")
+    for c, v in opts:
+        c = c[1:]
+        if c == "q":
+            opt.q = int(v)
+        elif c == "r":
+            opt.r = int(v)
+        elif c == "a":
+            opt.a = int(v)
+        elif c == "b":
+            opt.b = int(v)
+        elif c == "w":
+            opt.bw = int(v)
+        elif c == "T":
+            opt.t = int(v)
+        elif c == "t":
+            opt.n_threads = int(v)
+        elif c == "z":
+            opt.z = int(v)
+        elif c == "s":
+            opt.is_ = int(v)
+        elif c == "m":
+            opt.mask_level = float(v)
+        elif c == "c":
+            opt.coef = float(v)
+        elif c == "N":
+            opt.t_seeds = int(v)
+        elif c == "M":
+            opt.multi_2nd = 1
+        elif c == "H":
+            opt.hard_clip = 1
+        elif c == "f":
+            out_path = v
+        elif c == "I":
+            opt.max_ins = int(v)
+        elif c == "S":
+            opt.skip_sw = 1
+        elif c == "C":
+            opt.cpy_cmt = 1
+        elif c == "G":
+            opt.max_chain_gap = int(v)
+    opt.qr = opt.q + opt.r
+    if len(args) < 2:
+        sys.stderr.write("Usage: bwamem_tpu bwasw [options] <target.prefix>"
+                         " <query.fa> [query2.fa]\n")
+        return 1
+    # adjust for -a (bwtsw2_main.c:80-81)
+    opt.t *= opt.a
+    opt.coef *= opt.a
+    idx = load_index(args[0])
+    out = open(out_path, "w") if out_path else sys.stdout
+    try:
+        bsw2_aln(opt, idx, args[1], args[2] if len(args) > 2 else None,
+                 out=out)
+    finally:
+        if out_path:
+            out.close()
+    return 0
+
+
 def cmd_samse(argv: list[str]) -> int:
     """bwa_sai2sam_se (bwase.c:585-611)."""
     from bwamem_tpu.index import load_index
@@ -772,8 +842,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         sys.stderr.write(
-            "Usage: bwamem_tpu <mem|aln|samse|sampe|index|fastmap|maxk"
-            "|pemerge|shm> [options]\n")
+            "Usage: bwamem_tpu <mem|aln|samse|sampe|bwasw|index|fastmap"
+            "|maxk|pemerge|shm> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
@@ -784,6 +854,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_fastmap(rest)
     if cmd == "maxk":
         return cmd_maxk(rest)
+    if cmd == "bwasw":
+        return cmd_bwasw(rest)
     if cmd == "pemerge":
         return cmd_pemerge(rest)
     if cmd == "shm":

@@ -27,6 +27,8 @@ class Read:
     seq: np.ndarray          # nt4 uint8
     qual: Optional[str] = None
     comment: Optional[str] = None
+    raw: Optional[str] = None  # original characters (kept on request only:
+    # bwasw echoes the input bytes — case, IUPAC codes — into SAM SEQ)
 
     @property
     def l_seq(self) -> int:
@@ -39,7 +41,7 @@ def _open(path: str):
     return open(path, "rt")
 
 
-def read_fastx(path: str) -> Iterator[Read]:
+def read_fastx(path: str, keep_raw: bool = False) -> Iterator[Read]:
     """Minimal kseq: handles FASTQ and FASTA, multi-line sequences."""
     with _open(path) as f:
         name = comment = None
@@ -76,7 +78,8 @@ def read_fastx(path: str) -> Iterator[Read]:
                 yield Read(name=name,
                            seq=NT4_TABLE[np.frombuffer(
                                seq.encode(), np.uint8)].copy(),
-                           qual=qual, comment=comment)
+                           qual=qual, comment=comment,
+                           raw=seq if keep_raw else None)
             else:
                 line = f.readline()
 

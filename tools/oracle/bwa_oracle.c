@@ -441,6 +441,7 @@ static int cmd_fastmap(int argc, char *argv[])
 
 int main_pemerge(int argc, char *argv[]);  /* pemerge.c:217 */
 int main_maxk(int argc, char *argv[]);     /* maxk.c:12 */
+int bwa_bwtsw2(int argc, char *argv[]);    /* bwtsw2_main.c:11 */
 int bwa_aln(int argc, char *argv[]);       /* bwtaln.c:230 */
 int bwa_sai2sam_se(int argc, char *argv[]); /* bwase.c:585 */
 int bwa_sai2sam_pe(int argc, char *argv[]); /* bwape.c:717 */
@@ -459,6 +460,7 @@ int main(int argc, char *argv[])
     if (strcmp(argv[1], "chains0") == 0) return cmd_chains0(argc-1, argv+1);
     if (strcmp(argv[1], "pemerge") == 0) return main_pemerge(argc-1, argv+1);
     if (strcmp(argv[1], "maxk") == 0) return main_maxk(argc-1, argv+1);
+    if (strcmp(argv[1], "bwasw") == 0) return bwa_bwtsw2(argc-1, argv+1);
     if (strcmp(argv[1], "aln") == 0) return bwa_aln(argc-1, argv+1);
     if (strcmp(argv[1], "samse") == 0) return bwa_sai2sam_se(argc-1, argv+1);
     if (strcmp(argv[1], "sampe") == 0) return bwa_sai2sam_pe(argc-1, argv+1);
