@@ -42,7 +42,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def rowmap(mesh: Mesh, func, statics: tuple, repl_mask: tuple,
-           stacked_out: bool = False):
+           stacked_out: bool = False, out_mask: tuple = None):
     """shard_map+jit of `func(*arrays, **dict(statics))` over the mesh.
 
     repl_mask[i] True → argument i is replicated (index tables, packed
@@ -50,18 +50,26 @@ def rowmap(mesh: Mesh, func, statics: tuple, repl_mask: tuple,
     axis 1 (a [k, lanes] packed-transport array).  Outputs are sharded
     on axis 0, or axis 1 when `stacked_out` (programs returning one
     [k, lanes] stacked array — the transport-friendly convention of this
-    codebase).  Cached per (mesh, func, statics, mask) so each shape
+    codebase).  `out_mask` (overrides stacked_out) gives one False/"ax1"
+    entry per output leaf for programs returning a mix of row-sharded and
+    stacked arrays.  Cached per (mesh, func, statics, mask) so each shape
     compiles once."""
     return _rowmap_cached(mesh, func, tuple(statics), tuple(repl_mask),
-                          bool(stacked_out))
+                          bool(stacked_out),
+                          None if out_mask is None else tuple(out_mask))
 
 
 @functools.lru_cache(maxsize=512)
-def _rowmap_cached(mesh, func, statics, repl_mask, stacked_out):
+def _rowmap_cached(mesh, func, statics, repl_mask, stacked_out,
+                   out_mask=None):
     body = functools.partial(func, **dict(statics)) if statics else func
     in_specs = tuple(P() if r is True else
                      (P(None, AXIS) if r == "ax1" else P(AXIS))
                      for r in repl_mask)
-    out_specs = P(None, AXIS) if stacked_out else P(AXIS)
+    if out_mask is not None:
+        out_specs = tuple(P(None, AXIS) if m == "ax1" else P(AXIS)
+                          for m in out_mask)
+    else:
+        out_specs = P(None, AXIS) if stacked_out else P(AXIS)
     return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False))

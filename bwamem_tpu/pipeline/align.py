@@ -42,6 +42,7 @@ from bwamem_tpu.ops import local_sw
 from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import seedchain
+from bwamem_tpu.utils import timers
 
 
 def _bucket(x: int, lo: int = 32) -> int:
@@ -128,6 +129,9 @@ class Aligner:
                                                     constant_values=1)),
                 jnp.asarray(np.pad(w[sl], (0, pad), constant_values=3)),
                 self._mat)
+            if timers.enabled():
+                timers.add_bytes("d2h.global_sw", sum(
+                    x.nbytes for x in jax.tree.leaves(res)))
             outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
         if len(outs) == 1:
             return outs[0]

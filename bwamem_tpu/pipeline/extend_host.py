@@ -31,6 +31,7 @@ from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.finalize import AlnReg
 from bwamem_tpu.ops import extend as extops
+from bwamem_tpu.utils import timers
 
 
 def _bucket(x: int, lo: int = 16) -> int:
@@ -292,6 +293,7 @@ class _ExtBatcher:
         out = {k: np.zeros(M, np.int32) for k in _ExtBatcher.FIELDS}
         for idx, res in plan["parts"]:
             arr = np.asarray(res)          # one fetch per dispatch
+            timers.add_bytes("d2h.extend", arr.nbytes)
             for fi, k in enumerate(_ExtBatcher.FIELDS):
                 out[k][idx] = arr[fi, : idx.size]
         return out
@@ -370,8 +372,9 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     mesh = getattr(al, "mesh", None)
     batcherL = _ExtBatcher(opt, mat, opt.pen_clip5, al.fm.pac, l_pac,
                            seq_dev, mesh=mesh)
-    L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
-                          s_rb - 1, neg1, ltl, h0)
+    with timers.section("ext.left"):
+        L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
+                              s_rb - 1, neg1, ltl, h0)
 
     has_left = s_qb > 0
     loc_l = (L["gscore"] <= 0) | (L["gscore"] <= L["score"] - opt.pen_clip5)
@@ -393,8 +396,9 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     pos1 = np.ones(M, np.int64)
     batcherR = _ExtBatcher(opt, mat, opt.pen_clip3, al.fm.pac, l_pac,
                            seq_dev, mesh=mesh)
-    R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
-                          s_rb + s_len, pos1, rtl, sc0)
+    with timers.section("ext.right"):
+        R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
+                              s_rb + s_len, pos1, rtl, sc0)
 
     has_right = s_qe < l_seq
     loc_r = (R["gscore"] <= 0) | (R["gscore"] <= R["score"] - opt.pen_clip3)
@@ -411,6 +415,8 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     n_w = np.maximum(aw0, aw1)
 
     # ---- sequential replay (skip/accept, bwamem.c:674-713) ----
+    _t_replay = timers.section("ext.replay")
+    _t_replay.__enter__()
     # items are emitted grouped by read in k order, so item m of read i is
     # base[i] + k; per-item state is pulled into Python lists ONCE (scalar
     # numpy indexing per item dominated this loop in the batch profile)
@@ -507,4 +513,5 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
             r.frac_rep = frac_rep
             r.seedcov = seedcov_a[m]
             regs.append(r)
+    _t_replay.__exit__(None, None, None)
     return regs_out

@@ -35,6 +35,7 @@ from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import chainflt_host
 from bwamem_tpu.ops import align_ext
+from bwamem_tpu.utils import timers
 
 
 def _bucket(x: int, lo: int = 8) -> int:
@@ -90,13 +91,26 @@ def _emit_np(pivot, s, end, n, cap):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "w", "max_chain_gap", "mask_level", "drop_ratio", "min_chain_weight",
-    "max_chain_extend", "min_seed_len", "a", "o_del", "e_del", "o_ins",
-    "e_ins"))
+    "arena", "w", "max_chain_gap", "mask_level", "drop_ratio",
+    "min_chain_weight", "max_chain_extend", "min_seed_len", "a", "o_del",
+    "e_del", "o_ins", "e_ins"))
 def _chain_worklist_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *,
-                        w, max_chain_gap, mask_level, drop_ratio,
+                        arena, w, max_chain_gap, mask_level, drop_ratio,
                         min_chain_weight, max_chain_extend, min_seed_len,
                         a, o_del, e_del, o_ins, e_ins):
+    """Chain + filter + worklist for one read group; outputs are COMPACTED
+    to the work that exists and bit-packed (the padded [G, C] grids this
+    used to ship cost ~14 MB D2H per batch on a ~40 MB/s transport):
+
+      flat  [7, arena] i32 (or [4,.] i32 + [3,.] it when the index is
+            int64): per-WORK-ITEM (slot<<16|chain) in read-major work
+            order, then per-CHAIN (w<<16|fq), (lq<<16|ll), (rid<<1|alt),
+            rmax0, rmax1, pos in read-major storage order
+      sc16  [G, C] int16: seed → chain assignment (replay needs all seeds)
+      cnts  [G] i32: wl_n<<16 | chain_n<<1 | overflow
+
+    `arena` ≥ the group's true seed count guarantees no compaction
+    overflow (work items and chains are each ≤ seeds)."""
     ch = chainops.chain_seeds(seeds, ctg_is_alt, fm.l_pac, w=w,
                               max_chain_gap=max_chain_gap,
                               chain_cap=seeds.rbeg.shape[1])
@@ -110,20 +124,32 @@ def _chain_worklist_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *,
     rmax0, rmax1 = align_ext.chain_rmax(
         seeds, ch, l_seq, fm, ctg_offsets,
         a=a, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, w=w)
-    # TWO stacked outputs (one when the index is int32): every separately
-    # fetched array pays the backend's ~25 ms D2H round trip
     i32 = jnp.int32
+    it = ch.pos.dtype
     G, C = ch.pos.shape
-    vec_grid = jnp.zeros((G, C), i32).at[:, :3].set(
-        jnp.stack([wl.n.astype(i32), ch.n.astype(i32),
-                   ch.overflow.astype(i32)], axis=1))
-    g_i32 = jnp.stack([ch.seed_chain, wl.seed_slot, wl.chain, ch.rid, wt,
-                       ch.first_qbeg, ch.last_qbeg, ch.last_len,
-                       ch.is_alt.astype(i32), vec_grid])
-    g_it = jnp.stack([rmax0, rmax1, ch.pos])
-    if g_it.dtype == jnp.int32:
-        return jnp.concatenate([g_i32, g_it], axis=0), None
-    return g_i32, g_it
+    slots = jnp.broadcast_to(jnp.arange(C, dtype=i32)[None, :], (G, C))
+    wmask = (slots < wl.n[:, None]).reshape(-1)
+    pkw = (wl.seed_slot.astype(i32) << 16) | (wl.chain.astype(i32) & 0xFFFF)
+    (fw,), _, w_over, _ = _compact_flat(wmask, [(pkw, i32)], arena)
+    cmask = (slots < ch.n[:, None]).reshape(-1)
+    pk1 = (wt.astype(i32) << 16) | (ch.first_qbeg.astype(i32) & 0xFFFF)
+    pk2 = (ch.last_qbeg.astype(i32) << 16) | (ch.last_len.astype(i32)
+                                              & 0xFFFF)
+    pk3 = (ch.rid.astype(i32) << 1) | ch.is_alt.astype(i32)
+    (f1, f2, f3), _, c_over, _ = _compact_flat(
+        cmask, [(pk1, i32), (pk2, i32), (pk3, i32)], arena)
+    (fr0, fr1, fps), _, _, _ = _compact_flat(
+        cmask, [(rmax0, it), (rmax1, it), (ch.pos, it)], arena)
+    over = ch.overflow | w_over | c_over
+    cnts = ((wl.n.astype(i32) << 16) | (ch.n.astype(i32) << 1)
+            | over.astype(i32))
+    sc16 = ch.seed_chain.astype(jnp.int16)
+    if it == i32:
+        flat = jnp.stack([fw, f1, f2, f3, fr0.astype(i32),
+                          fr1.astype(i32), fps.astype(i32)])
+        return flat, sc16, cnts
+    return (jnp.stack([fw, f1, f2, f3]), jnp.stack([fr0, fr1, fps]),
+            sc16, cnts)
 
 
 class SeedsNp(NamedTuple):
@@ -173,8 +199,9 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     as a list of (read_indices, WorklistNp) groups."""
     opt: MemOptions = al.opt
     n = len(reads)
-    read_iv, iv_s, iv_e, iv_x0, iv_x2, _overflow = \
-        collect_intervals_host(al, seq, l_seq, n)
+    with timers.section("seed.collect"):
+        read_iv, iv_s, iv_e, iv_x0, iv_x2, _overflow = \
+            collect_intervals_host(al, seq, l_seq, n)
 
     # ---- occurrence sampling (mem_chain loop, bwamem.c:280-307) ----
     counts = np.minimum(iv_x2, opt.max_occ).astype(np.int64)
@@ -191,13 +218,15 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     # ---- compact device SA walk ----
     mesh = getattr(al, "mesh", None)
     if M:
-        Mp = _shapes.lanes(M, fine_lo=256, coarse_lo=1024)
-        rk = np.zeros(Mp, dtype=np.asarray(al.fm.sa).dtype)
-        rk[:M] = ranks
-        sa_fn = (_sa_lookup_jit if mesh is None else
-                 pmesh.rowmap(mesh, _sa_lookup_jit, (), (True, False)))
-        rbeg = np.asarray(sa_fn(al.fm, jnp.asarray(rk)))[:M]
-        rbeg = rbeg.astype(np.int64)
+        with timers.section("seed.sa_walk"):
+            Mp = _shapes.lanes(M, fine_lo=256, coarse_lo=1024)
+            rk = np.zeros(Mp, dtype=np.asarray(al.fm.sa).dtype)
+            rk[:M] = ranks
+            sa_fn = (_sa_lookup_jit if mesh is None else
+                     pmesh.rowmap(mesh, _sa_lookup_jit, (), (True, False)))
+            rbeg = np.asarray(sa_fn(al.fm, jnp.asarray(rk)))[:M]
+            timers.add_bytes("d2h.sa_walk", rbeg.nbytes)
+            rbeg = rbeg.astype(np.int64)
     else:
         rbeg = np.zeros(0, np.int64)
     rid = _intv2rid_np(al.ctg_offsets_np, al.l_pac, rbeg, slen)
@@ -210,18 +239,19 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     seed_cnt = np.bincount(read_of, minlength=n)
 
     # ---- frac_rep (l_rep union, bwamem.c:272-279) ----
-    l_rep = np.zeros(n, np.float32)
-    rep = iv_x2 > opt.max_occ
-    for i in np.unique(read_iv[rep]):
-        b = e = lr = 0
-        sel = rep & (read_iv == i)      # flat order is (start, end) asc
-        for sb, se in zip(iv_s[sel], iv_e[sel]):
-            if sb > e:
-                lr += e - b
-                b, e = int(sb), int(se)
-            else:
-                e = max(e, int(se))
-        l_rep[i] = lr + (e - b)
+    with timers.section("seed.l_rep"):
+        l_rep = np.zeros(n, np.float32)
+        rep = iv_x2 > opt.max_occ
+        for i in np.unique(read_iv[rep]):
+            b = e = lr = 0
+            sel = rep & (read_iv == i)  # flat order is (start, end) asc
+            for sb, se in zip(iv_s[sel], iv_e[sel]):
+                if sb > e:
+                    lr += e - b
+                    b, e = int(sb), int(se)
+                else:
+                    e = max(e, int(se))
+            l_rep[i] = lr + (e - b)
 
     # ---- group reads by seed count; chain at snug shapes ----
     it = np.asarray(al.fm.L2).dtype
@@ -250,26 +280,33 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
         g_l = np.ones(Gp, np.int32)
         g_l[:G] = l_seq[ridx]
         g_frac = np.pad(l_rep[ridx], (0, Gp - G))
+        # arena ≥ true seed count ⇒ the device compactions cannot overflow
+        # (work items and chains are each at most one per seed)
+        arena = _bucket(max(int(g_valid.sum()), 1), lo=256)
         seeds = chainops.Seeds(
             rbeg=jnp.asarray(g_rbeg), qbeg=jnp.asarray(g_qbeg),
             len=jnp.asarray(g_len), rid=jnp.asarray(g_rid),
             valid=jnp.asarray(g_valid), frac_rep=jnp.asarray(g_frac),
             overflow=jnp.zeros(Gp, bool))
         statics = dict(
+            arena=arena,
             w=opt.w, max_chain_gap=opt.max_chain_gap,
             mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
             min_chain_weight=opt.min_chain_weight,
             max_chain_extend=opt.max_chain_extend,
             min_seed_len=opt.min_seed_len, a=opt.a, o_del=opt.o_del,
             e_del=opt.e_del, o_ins=opt.o_ins, e_ins=opt.e_ins)
+        i64_idx = it == np.int64
         if mesh is None:
             res = _chain_worklist_jit(al.fm, al.ctg_offsets, al.ctg_is_alt,
                                       seeds, jnp.asarray(g_l), **statics)
         else:
+            out_mask = (("ax1", "ax1", False, False) if i64_idx
+                        else ("ax1", False, False))
             fn = pmesh.rowmap(mesh, _chain_worklist_jit,
                               tuple(sorted(statics.items())),
                               (True, True, True, False, False),
-                              stacked_out=True)
+                              out_mask=out_mask)
             res = fn(al.fm, al.ctg_offsets, al.ctg_is_alt, seeds,
                      jnp.asarray(g_l))
         for r in res:
@@ -278,25 +315,76 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
                     r.copy_to_host_async()
                 except Exception:
                     pass
-        return ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), res
+        return ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), res, arena
 
     def drain_group(plan):
-        ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), (da, db) = plan
-        a = np.asarray(da)
-        b = a[10:13] if db is None else np.asarray(db)
-        (seed_chain, wl_slot, wl_chain, chain_rid, c_w, c_fq, c_lq, c_ll,
-         c_alt, vec) = a[:10]
-        rmax0, rmax1, c_pos = b
+        ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), res, arena = plan
+        if len(res) == 3:
+            flat, sc16, cnts = (np.asarray(x) for x in res)
+            fitp = flat[4:7].astype(it)
+        else:
+            flat, fitp, sc16, cnts = (np.asarray(x) for x in res)
+        timers.add_bytes("d2h.chain_grid",
+                         flat.nbytes + fitp.nbytes + sc16.nbytes
+                         + cnts.nbytes)
+        Gp, C = sc16.shape
+        nsh = flat.shape[1] // arena           # mesh shards stack arenas
+        Gs = Gp // nsh
+        wl_n = (cnts >> 16).astype(np.int32)
+        chain_n = ((cnts >> 1) & 0x7FFF).astype(np.int32)
+        if (cnts[:ridx.size] & 1).any():
+            # cannot happen: arena >= group seed count bounds both
+            # compactions and chain_cap == seed cap bounds the B-tree
+            raise RuntimeError("chain worklist compaction overflow")
+        wl_slot = np.zeros((Gp, C), np.int16)
+        wl_chain = np.full((Gp, C), -1, np.int16)
+        rmax0 = np.zeros((Gp, C), it)
+        rmax1 = np.zeros((Gp, C), it)
+        c_pos = np.zeros((Gp, C), it)
+        c_w = np.zeros((Gp, C), np.int32)
+        c_fq = np.zeros((Gp, C), np.int32)
+        c_lq = np.zeros((Gp, C), np.int32)
+        c_ll = np.zeros((Gp, C), np.int32)
+        c_rid = np.full((Gp, C), -1, np.int32)
+        c_alt = np.zeros((Gp, C), bool)
+
+        def scatter(dst_list, src_list, counts_row, base, r0):
+            """Unpack shard-local flat arrays into [rows, C] grids."""
+            k = counts_row.sum()
+            if not k:
+                return
+            rows_r = np.repeat(np.arange(counts_row.size), counts_row) + r0
+            cum = np.concatenate([[0], np.cumsum(counts_row)])
+            cols = np.arange(k) - cum[rows_r - r0]
+            src_i = base + np.arange(k)
+            for dst, src in zip(dst_list, src_list):
+                dst[rows_r, cols] = src[src_i]
+
+        for sh in range(nsh):
+            r0 = sh * Gs
+            base = sh * arena
+            wv = flat[0]
+            scatter([wl_slot, wl_chain],
+                    [(wv >> 16).astype(np.int16),
+                     (wv & 0xFFFF).astype(np.int16)],
+                    wl_n[r0:r0 + Gs], base, r0)
+            scatter([c_w, c_fq, c_lq, c_ll, c_rid, c_alt,
+                     rmax0, rmax1, c_pos],
+                    [flat[1] >> 16, flat[1] & 0xFFFF, flat[2] >> 16,
+                     flat[2] & 0xFFFF, flat[3] >> 1,
+                     (flat[3] & 1).astype(bool), fitp[0], fitp[1],
+                     fitp[2]],
+                    chain_n[r0:r0 + Gs], base, r0)
         wr = WorklistNp(
             seeds=SeedsNp(qbeg=g_qbeg, rbeg=g_rbeg, len=g_len,
                           valid=g_valid, frac_rep=g_frac),
-            seed_chain=seed_chain.copy(), wl_slot=wl_slot.copy(),
-            wl_chain=wl_chain.copy(), wl_n=vec[:, 0].copy(), rmax0=rmax0,
-            rmax1=rmax1, chain_rid=chain_rid,
-            overflow=vec[:, 2].astype(bool),
+            seed_chain=sc16.astype(np.int32), wl_slot=wl_slot,
+            wl_chain=wl_chain, wl_n=wl_n, rmax0=rmax0,
+            rmax1=rmax1, chain_rid=c_rid,
+            overflow=(cnts & 1).astype(bool),
             chain_w=c_w, chain_pos=c_pos, chain_fq=c_fq, chain_lq=c_lq,
-            chain_ll=c_ll, chain_alt=c_alt.astype(bool),
-            chain_n=vec[:, 1].copy())
+            chain_ll=c_ll, chain_alt=c_alt,
+            chain_n=chain_n)
         chainflt_host.fix_tied_rows(wr, opt)
         return wr
 
@@ -305,19 +393,21 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
         return max(128, 131072 // cap)
 
     plans = []
-    assigned = np.zeros(n, bool)
-    for cap in group_caps:
-        sel = (~assigned) & (seed_cnt <= cap) & (seed_cnt > 0)
-        assigned |= sel
-        ridx = np.nonzero(sel)[0]
-        for s0, c in _shapes.chunks(ridx.size, tile=g_tile(cap)):
-            plans.append(submit_group(ridx[s0:s0 + c], cap))
-    # reads beyond the largest cap: truncated to the first `cap` seeds
-    # (slot order == insertion order); flagged for the host fallback
-    rest = np.nonzero((~assigned) & (seed_cnt > 0))[0]
-    for s0, c in _shapes.chunks(rest.size, tile=g_tile(group_caps[-1])):
-        plans.append(submit_group(rest[s0:s0 + c], group_caps[-1]))
-    return [(p[0], drain_group(p)) for p in plans]
+    with timers.section("seed.group_submit"):
+        assigned = np.zeros(n, bool)
+        for cap in group_caps:
+            sel = (~assigned) & (seed_cnt <= cap) & (seed_cnt > 0)
+            assigned |= sel
+            ridx = np.nonzero(sel)[0]
+            for s0, c in _shapes.chunks(ridx.size, tile=g_tile(cap)):
+                plans.append(submit_group(ridx[s0:s0 + c], cap))
+        # reads beyond the largest cap: truncated to the first `cap` seeds
+        # (slot order == insertion order); flagged for the host fallback
+        rest = np.nonzero((~assigned) & (seed_cnt > 0))[0]
+        for s0, c in _shapes.chunks(rest.size, tile=g_tile(group_caps[-1])):
+            plans.append(submit_group(rest[s0:s0 + c], group_caps[-1]))
+    with timers.section("seed.group_drain"):
+        return [(p[0], drain_group(p)) for p in plans]
 
 
 # --------------------------------------------------------------------------
@@ -439,15 +529,20 @@ def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
             m3.reshape(-1), [(rows3, it), (p3s, it), (p3e, it),
                              (p3x0, it), (p3x2, it)], e3max)
         p3_any = p3over.any()
+        p3n_max = p3n.max()
     else:
         z = jnp.zeros((e3max,), it)
         e3_read = e3_s = e3_e = e3_x0 = e3_x2 = z
         n3 = jnp.zeros((), i32)
         e3_over = p3_any = jnp.zeros((), bool)
+        p3n_max = jnp.zeros((), i32)
 
-    # ---- ONE stacked output [5, emax+e2max+e3max+8] ----
-    # rows: read, start, end, x0, x2; meta block (last 8 cols of row 0):
-    # n1, n2, n3, flags
+    # ---- ONE stacked output [5, emax+e2max+e3max+16] ----
+    # meta block (last 16 cols): row 0 cols 0-3 = n1, n2, n3, flags;
+    # row 1 cols 0-8 = per-arena high-water marks in _GROW_BITS order —
+    # the host right-sizes the NEXT batch's arenas from these, so the
+    # lockstep scans stop paying for dead lanes (arena >> live lanes was
+    # ~40% of this program's wall time before)
     sec1 = jnp.stack([e_read, e_s, e_e, e_x0, e_x2])
     sec2 = jnp.stack([e2_read, e2_s, e2_e, e2_x0, e2_x2])
     sec3 = jnp.stack([e3_read, e3_s, e3_e, e3_x0, e3_x2])
@@ -456,8 +551,13 @@ def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
              | (p_over.astype(it) << 3) | (c2.overflow.any().astype(it) << 4)
              | (k2_over.astype(it) << 5) | (e2_over.astype(it) << 6)
              | (p3_any.astype(it) << 7) | (e3_over.astype(it) << 8))
-    meta = jnp.zeros((5, 8), it).at[0, :4].set(
-        jnp.stack([n1.astype(it), n2.astype(it), n3.astype(it), flags]))
+    hwm = jnp.stack([c1.n.max().astype(it), nk.astype(it), n1.astype(it),
+                     n_par.astype(it), c2.n.max().astype(it),
+                     nk2.astype(it), n2.astype(it),
+                     p3n_max.astype(it), n3.astype(it)])
+    meta = jnp.zeros((5, 16), it).at[0, :4].set(
+        jnp.stack([n1.astype(it), n2.astype(it), n3.astype(it),
+                   flags])).at[1, :9].set(hwm)
     return jnp.concatenate([sec1, sec2, sec3, meta], axis=1)
 
 
@@ -487,17 +587,37 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
     hist = getattr(al, "_seed_arena_hist", None)
     if hist is None:
         hist = al._seed_arena_hist = {}
-    sizes = {
+    # defaults for the first batch of a shape; afterwards the measured
+    # high-water marks (meta row 1) right-size every arena with 25%
+    # headroom — the lockstep scans pay per arena LANE, live or dead, so
+    # a pass-2 arena sized "generously" (the old fixed Nl*8) cost ~40% of
+    # the fused program on workloads whose pass-2 is nearly empty
+    defaults = {
         "cap": 2 * Lr,
-        "kmax": kmax0 or hist.get(("kmax", N)) or _bucket(Nl * 16, lo=1024),
-        "emax": emax0 or hist.get(("emax", N)) or _bucket(Nl * 8, lo=1024),
-        "pmax": hist.get(("pmax", N)) or _bucket(Nl * 2, lo=256),
-        "cand2": hist.get(("cand2", N)) or 48,
-        "k2max": hist.get(("k2max", N)) or _bucket(Nl * 8, lo=1024),
-        "e2max": hist.get(("e2max", N)) or _bucket(Nl * 4, lo=1024),
-        "p3cap": hist.get(("p3cap", N)) or 32,
-        "e3max": hist.get(("e3max", N)) or _bucket(Nl * 2, lo=1024),
+        "kmax": _bucket(Nl * 16, lo=1024),
+        "emax": _bucket(Nl * 8, lo=1024),
+        "pmax": _bucket(Nl * 2, lo=256),
+        "cand2": 48,
+        "k2max": _bucket(Nl * 8, lo=1024),
+        "e2max": _bucket(Nl * 4, lo=1024),
+        "p3cap": 32,
+        "e3max": _bucket(Nl * 2, lo=1024),
     }
+    _FLOORS = {"cap": 64, "kmax": 1024, "emax": 1024, "pmax": 256,
+               "cand2": 16, "k2max": 1024, "e2max": 1024, "p3cap": 16,
+               "e3max": 1024}
+
+    def from_hwm(name):
+        h = hist.get(("hwm", name, N))
+        if h is None:
+            return None
+        return _bucket(int(h + (h >> 2) + 1), lo=_FLOORS[name])
+
+    sizes = {k: from_hwm(k) or defaults[k] for k in defaults}
+    if kmax0:
+        sizes["kmax"] = kmax0
+    if emax0:
+        sizes["emax"] = emax0
     # k-mer fast-start: only when the index carries the table and the skip
     # is provably exact (min_seed_len >= K, see ops.smem.kmer_pre)
     use_kmer = (al.fm.kmer is not None and getattr(opt, "use_kmer_table", True)
@@ -508,18 +628,21 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                        split_width=opt.split_width,
                        max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer,
                        **sizes)
-        if mesh is None:
-            out = np.asarray(_collect_all_jit(al.fm, seq_j, l_j, **statics))
-        else:
-            # shard-local arenas per chip; one program, one fetch
-            fn = pmesh.rowmap(mesh, _collect_all_jit,
-                              tuple(sorted(statics.items())),
-                              (True, False, False), stacked_out=True)
-            out = np.asarray(fn(al.fm, seq_j, l_j))
+        with timers.section("seed.collect_rt"):
+            if mesh is None:
+                out = np.asarray(_collect_all_jit(al.fm, seq_j, l_j,
+                                                  **statics))
+            else:
+                # shard-local arenas per chip; one program, one fetch
+                fn = pmesh.rowmap(mesh, _collect_all_jit,
+                                  tuple(sorted(statics.items())),
+                                  (True, False, False), stacked_out=True)
+                out = np.asarray(fn(al.fm, seq_j, l_j))
+            timers.add_bytes("d2h.seed_collect", out.nbytes)
         shards = out.reshape(5, ndev, out.shape[1] // ndev)
         flags = 0
         for sh in range(ndev):
-            flags |= int(shards[0, sh, -5])
+            flags |= int(shards[0, sh, -13])
         # grow whichever arena overflowed (in any shard) and rerun:
         # dropped-lane output is incomplete, silently truncating seeds is
         # not an option
@@ -530,17 +653,18 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                 retry = True
         if not retry:
             break
-    for name in ("kmax", "emax", "pmax", "cand2", "k2max", "e2max",
-                 "p3cap", "e3max"):
-        if not (kmax0 and name in ("kmax", "emax")):
-            hist[(name, N)] = sizes[name]
+    # running max of the measured high-water marks sizes the next batch
+    for bit, name in enumerate(_GROW_BITS):
+        hwm = max(int(shards[1, sh, -16 + bit]) for sh in range(ndev))
+        key = ("hwm", name, N)
+        hist[key] = max(hist.get(key, 0), hwm)
     o1 = sizes["emax"]
     o2 = o1 + sizes["e2max"]
     Nl = N // ndev
     parts = []
     for sh in range(ndev):
         o = shards[:, sh, :]
-        n1, n2, n3 = int(o[0, -8]), int(o[0, -7]), int(o[0, -6])
+        n1, n2, n3 = int(o[0, -16]), int(o[0, -15]), int(o[0, -14])
         p = np.concatenate([o[:, :n1], o[:, o1:o1 + n2],
                             o[:, o2:o2 + n3]], axis=1)
         if sh:
