@@ -435,6 +435,7 @@ class CigarJob:
     cigar: list = dataclasses.field(default_factory=list)
     qseg: np.ndarray = None    # query[qb:qe], reversed if rev
     rseq: np.ndarray = None    # fetched ref, reversed if rev
+    nm_md: tuple = None        # (NM, MD) batch-precomputed (native path)
 
     def prepare(self, opt: MemOptions, pac: np.ndarray, l_pac: int,
                 rseq: Optional[np.ndarray] = None):
@@ -469,9 +470,16 @@ def _next_pow2(x: int, lo: int = 32) -> int:
 def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
                    jobs: list[CigarJob], device_global) -> None:
     """Band-doubling loop of mem_reg2aln (bwamem.c:1117-1126), batched:
-    every pending job runs one banded global alignment per round on device;
-    jobs whose score converged (score == last_sc or band maxed) retire.
-    device_global(query, qlen, target, tlen, w, w_max) -> GlobalResult."""
+    every pending job runs one banded global alignment per round; jobs
+    whose score converged (score == last_sc or band maxed) retire.
+
+    The DP runs in the native host kernel (native.ksw_global_batch) when
+    a compiler is available: these per-record jobs are tiny (~100x~30
+    banded cells) and traceback-heavy, which the lockstep device op
+    handles ~10x slower than one host core; the device path
+    (device_global(query, qlen, target, tlen, w, w_max) -> GlobalResult)
+    remains the fallback and the parity reference."""
+    from bwamem_tpu import native
     rseqs = get_seq_many(pac, l_pac,
                          np.fromiter((j.reg.rb for j in jobs), np.int64,
                                      len(jobs)),
@@ -479,6 +487,7 @@ def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
                                      len(jobs)))
     for j, rs in zip(jobs, rseqs):
         j.prepare(opt, pac, l_pac, rseq=rs)
+    use_native = native.available()
     for _ in range(4):
         live = [j for j in jobs if not j.done]
         if not live:
@@ -497,37 +506,46 @@ def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
             batch.append(j)
         if not batch:
             continue
-        LQ = _next_pow2(max(len(j.qseg) for j in batch))
-        LT = _next_pow2(max(len(j.rseq) for j in batch))
         ws = [_gen_cigar_band(opt, len(j.qseg), len(j.rseq), j.w2)
               for j in batch]
-        w_max = _next_pow2(max(ws), lo=8)
-        B = len(batch)
-        q = np.full((B, LQ), 4, np.uint8)
-        t = np.full((B, LT), 4, np.uint8)
-        qlen = np.zeros(B, np.int32)
-        tlen = np.zeros(B, np.int32)
-        for b, j in enumerate(batch):
-            q[b, :len(j.qseg)] = j.qseg
-            t[b, :len(j.rseq)] = j.rseq
-            qlen[b], tlen[b] = len(j.qseg), len(j.rseq)
-        mc = 32
-        while True:
-            res = device_global(q, qlen, t, tlen,
-                                np.asarray(ws, np.int32), w_max,
-                                max_cigar=mc)
-            overflow = np.asarray(res.overflow)
-            if not overflow.any():
-                break
-            mc *= 2          # noisy long reads: more runs than the default
-        ops = np.asarray(res.ops)
-        lens = np.asarray(res.lens)
-        ncig = np.asarray(res.n_cigar)
-        scores = np.asarray(res.score)
-        for b, j in enumerate(batch):
-            j.score = int(scores[b])
-            j.cigar = [(int(ops[b, k]), int(lens[b, k]))
-                       for k in range(int(ncig[b]))]
+        if use_native:
+            scores, cigars = native.ksw_global_batch(
+                [j.qseg for j in batch], [j.rseq for j in batch], ws,
+                opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+            for b, j in enumerate(batch):
+                j.score = int(scores[b])
+                j.cigar = cigars[b]
+        else:
+            LQ = _next_pow2(max(len(j.qseg) for j in batch))
+            LT = _next_pow2(max(len(j.rseq) for j in batch))
+            w_max = _next_pow2(max(ws), lo=8)
+            B = len(batch)
+            q = np.full((B, LQ), 4, np.uint8)
+            t = np.full((B, LT), 4, np.uint8)
+            qlen = np.zeros(B, np.int32)
+            tlen = np.zeros(B, np.int32)
+            for b, j in enumerate(batch):
+                q[b, :len(j.qseg)] = j.qseg
+                t[b, :len(j.rseq)] = j.rseq
+                qlen[b], tlen[b] = len(j.qseg), len(j.rseq)
+            mc = 32
+            while True:
+                res = device_global(q, qlen, t, tlen,
+                                    np.asarray(ws, np.int32), w_max,
+                                    max_cigar=mc)
+                overflow = np.asarray(res.overflow)
+                if not overflow.any():
+                    break
+                mc *= 2      # noisy long reads: more runs than the default
+            ops = np.asarray(res.ops)
+            lens = np.asarray(res.lens)
+            ncig = np.asarray(res.n_cigar)
+            scores = np.asarray(res.score)
+            for b, j in enumerate(batch):
+                j.score = int(scores[b])
+                j.cigar = [(int(ops[b, k]), int(lens[b, k]))
+                           for k in range(int(ncig[b]))]
+        for j in batch:
             if j.score == j.last_sc or j.w2 == opt.w << 2:
                 j.done = True
                 continue
@@ -536,6 +554,16 @@ def run_cigar_jobs(opt: MemOptions, pac: np.ndarray, l_pac: int,
             j.n_iter += 1
             if j.n_iter >= 3 or j.score >= j.reg.truesc - opt.a:
                 j.done = True
+    if use_native and jobs:
+        # batch all NM/MD work while the inputs are at hand; the cached
+        # values short-circuit reg2aln_finish's per-record _nm_md
+        nm, md = native.nm_md_batch(
+            [j.cigar for j in jobs], [j.qseg for j in jobs],
+            [j.rseq for j in jobs],
+            np.fromiter((j.reg.rb >= l_pac for j in jobs), np.uint8,
+                        len(jobs)))
+        for b, j in enumerate(jobs):
+            j.nm_md = (int(nm[b]), md[b])
 
 
 def _nm_md(cigar: list, qseg: np.ndarray, rseq: np.ndarray,
@@ -590,7 +618,10 @@ def reg2aln_finish(opt: MemOptions, ctg_offsets: np.ndarray, l_pac: int,
     if ar.secondary >= 0:
         a.flag |= 0x100
     is_rev = ar.rb >= l_pac
-    a.NM, a.MD = _nm_md(job.cigar, job.qseg, job.rseq, is_rev)
+    if job.nm_md is not None:
+        a.NM, a.MD = job.nm_md
+    else:
+        a.NM, a.MD = _nm_md(job.cigar, job.qseg, job.rseq, is_rev)
     cigar = list(job.cigar)
     pos = ar.rb if ar.rb < l_pac else 2 * l_pac - 1 - (ar.re - 1)
     a.is_rev = int(is_rev)

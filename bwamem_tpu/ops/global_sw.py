@@ -144,26 +144,19 @@ def global_align_batch(query: jax.Array, qlen: jax.Array,
                             jnp.zeros((B, MC), i32), zi, zi.astype(bool))
 
     # ---- traceback (ksw.c:589-603) ----
-    def push(ops, lens, n, cur_op, cur_len, overflow, op, ln, active):
-        """push_cigar semantics: merge into the current run or flush it."""
-        same = (op == cur_op) & active
-        flush = active & (op != cur_op) & (cur_op >= 0)
-        slot = jnp.where(flush, jnp.minimum(n, MC - 1), MC)
-        ops = ops.at[rows1, slot].set(cur_op, mode="drop")
-        lens = lens.at[rows1, slot].set(cur_len, mode="drop")
-        overflow = overflow | (flush & (n >= MC))
-        n = n + flush.astype(i32)
-        cur_op = jnp.where(active & ~same, op, cur_op)
-        cur_len = jnp.where(same, cur_len + ln, jnp.where(active, ln, cur_len))
-        return ops, lens, n, cur_op, cur_len, overflow
-
+    # The walk itself only RECORDS the per-step `which` stream (one
+    # contiguous [1, B] row write per step into a [S, B] buffer); the
+    # run-length merging of push_cigar happens vectorized AFTERWARDS.
+    # The per-step scatter pushes + [B, LT, NCOL] multi-dim gather of the
+    # direct transcription cost ~280 ms per 2048-lane dispatch; the
+    # flattened 1-D gather + deferred RLE runs ~5x faster.
+    zf = z.reshape(B, -1)
+    S = LT + LQ + 2                      # path length bound
     st0 = dict(
         i=tlen - 1,
         k=jnp.minimum(tlen - 1 + w + 1, qlen) - 1,
-        which=jnp.zeros((B,), i32),
-        ops=jnp.zeros((B, MC), i32), lens=jnp.zeros((B, MC), i32),
-        n=jnp.zeros((B,), i32), cur_op=jnp.full((B,), -1, i32),
-        cur_len=jnp.zeros((B,), i32), overflow=jnp.zeros((B,), bool),
+        which=jnp.zeros((B,), i32), s=jnp.zeros((), i32),
+        wbuf=jnp.full((S, B), 3, jnp.uint8),     # 3 = inactive
     )
 
     def tcond(st):
@@ -175,38 +168,69 @@ def global_align_batch(query: jax.Array, qlen: jax.Array,
         beg = jnp.maximum(i - w, 0)
         ic = jnp.clip(i, 0, LT - 1)
         kc = jnp.clip(k - beg, 0, NCOL - 1)
-        zi = z[rows1, ic, kc].astype(i32)
+        zi = zf[rows1, ic * NCOL + kc].astype(i32)
         which = (zi >> (st["which"] << 1)) & 3
         which = jnp.where(active, which, st["which"])
-        op = jnp.where(which == 0, 0, jnp.where(which == 1, 2, 1))
-        ops, lens, n, cur_op, cur_len, overflow = push(
-            st["ops"], st["lens"], st["n"], st["cur_op"], st["cur_len"],
-            st["overflow"], op, jnp.ones((B,), i32), active)
+        rec = jnp.where(active, which, 3).astype(jnp.uint8)
+        wbuf = jax.lax.dynamic_update_slice_in_dim(
+            st["wbuf"], rec[None, :], st["s"], axis=0)
         di = jnp.where(which == 2, 0, 1)
         dk = jnp.where(which == 1, 0, 1)
         return dict(i=i - jnp.where(active, di, 0),
                     k=k - jnp.where(active, dk, 0), which=which,
-                    ops=ops, lens=lens, n=n, cur_op=cur_op, cur_len=cur_len,
-                    overflow=overflow)
+                    s=st["s"] + 1, wbuf=wbuf)
 
     st = jax.lax.while_loop(tcond, tbody, st0)
-    # leading deletions / insertions (ksw.c:598-599)
-    ops, lens, n, cur_op, cur_len, overflow = (
-        st["ops"], st["lens"], st["n"], st["cur_op"], st["cur_len"],
-        st["overflow"])
-    ops, lens, n, cur_op, cur_len, overflow = push(
-        ops, lens, n, cur_op, cur_len, overflow,
-        jnp.full((B,), 2, i32), st["i"] + 1, st["i"] >= 0)
-    ops, lens, n, cur_op, cur_len, overflow = push(
-        ops, lens, n, cur_op, cur_len, overflow,
-        jnp.full((B,), 1, i32), st["k"] + 1, st["k"] >= 0)
-    # final flush
-    flush = cur_op >= 0
-    slot = jnp.where(flush, jnp.minimum(n, MC - 1), MC)
-    ops = ops.at[rows1, slot].set(cur_op, mode="drop")
-    lens = lens.at[rows1, slot].set(cur_len, mode="drop")
-    overflow = overflow | (flush & (n >= MC))
-    n = n + flush.astype(i32)
+
+    # run-length encode the recorded streams (push_cigar semantics):
+    # which 0 → M, 1 → D, 2 → I; 3 marks steps past a lane's exit.
+    # Runs are extracted with a per-lane SORT of run-start positions
+    # (payload = op) — a lane's valid steps are contiguous from 0, so
+    # run j's length is just start[j+1] - start[j].  TPU scatters run at
+    # gather-like (slow) element rates; sort is vector-unit fast.
+    wb = st["wbuf"].astype(i32).T                     # [B, S]
+    opst = jnp.where(wb == 0, 0, jnp.where(wb == 1, 2,
+                     jnp.where(wb == 2, 1, -1)))
+    valid = opst >= 0
+    prev = jnp.concatenate([jnp.full((B, 1), -2, i32), opst[:, :-1]],
+                           axis=1)
+    startr = valid & (opst != prev)
+    srange = jnp.arange(S, dtype=i32)[None, :]
+    nrun = jnp.sum(startr.astype(i32), axis=1)                   # [B]
+    last_s = jnp.max(jnp.where(valid, srange, -1), axis=1)       # [B]
+    last_op = jnp.sum(jnp.where(srange == last_s[:, None], opst, 0)
+                      * valid.astype(i32), axis=1)               # [B]
+    keys = jnp.where(startr, srange, S + 1)
+    sk, so = jax.lax.sort((keys, opst), dimension=1, num_keys=1)
+    if MC <= S:
+        starts, ops_s = sk[:, :MC], so[:, :MC]
+    else:     # retried with a giant cigar cap: runs can never exceed S
+        starts = jnp.pad(sk, ((0, 0), (0, MC - S)), constant_values=S + 1)
+        ops_s = jnp.pad(so, ((0, 0), (0, MC - S)))
+    nxt = jnp.concatenate([starts[:, 1:], jnp.full((B, 1), S + 1, i32)],
+                          axis=1)
+    lens_s = jnp.minimum(nxt, last_s[:, None] + 1) - starts
+    jr = jnp.arange(MC, dtype=i32)[None, :]
+    run_ok = jr < jnp.minimum(nrun, MC)[:, None]
+    ops = jnp.where(run_ok, ops_s, 0)
+    lens = jnp.where(run_ok, lens_s, 0)
+
+    # trailing run (ksw.c:598-599): leading deletions when i survived,
+    # else leading insertions — the loop exit makes them mutually
+    # exclusive (a lane exits as soon as i < 0 or k < 0)
+    i_f, k_f = st["i"], st["k"]
+    t_active = (i_f >= 0) | (k_f >= 0)
+    t_op = jnp.where(i_f >= 0, 2, 1)
+    t_len = jnp.where(i_f >= 0, i_f + 1, k_f + 1)
+    t_merge = t_active & (nrun > 0) & (last_op == t_op)
+    mslot = jnp.where(t_merge, jnp.minimum(nrun - 1, MC - 1), MC)
+    lens = lens.at[rows1, mslot].add(t_len, mode="drop")
+    t_new = t_active & ~t_merge
+    aslot = jnp.where(t_new & (nrun < MC), nrun, MC)
+    ops = ops.at[rows1, aslot].set(t_op, mode="drop")
+    lens = lens.at[rows1, aslot].set(t_len, mode="drop")
+    n = nrun + t_new.astype(i32)
+    overflow = n > MC
     n = jnp.minimum(n, MC)
 
     # traceback emitted runs back-to-front; reverse per lane

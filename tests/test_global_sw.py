@@ -112,3 +112,58 @@ def test_global_matches_ksw(oracle, seed):
     bad = [(i, cases[i][0], want[i], got[i])
            for i in range(len(cases)) if want[i] != got[i]]
     assert not bad, f"{len(bad)}/{len(cases)} mismatch; first 3: {bad[:3]}"
+
+
+@pytest.mark.parametrize("seed", [1, 11])
+def test_native_matches_ksw(oracle, seed):
+    """The host C kernel (native.ksw_global_batch) must return the exact
+    (score, cigar) of ksw_global2 — same oracle corpus as the device op."""
+    from bwamem_tpu import native
+    if not native.available():
+        pytest.skip("no system compiler")
+    cases = gen_cases(seed, 120)
+    want = oracle_global(oracle, cases)
+    qs = [np.asarray([NT4[c] for c in q], np.uint8) for _, q, _ in cases]
+    ts = [np.asarray([NT4[c] for c in t], np.uint8) for *_, t in cases]
+    ws = [w for w, *_ in cases]
+    sc, cg = native.ksw_global_batch(qs, ts, ws, np.asarray(fill_scmat(1, 4)),
+                                     6, 1, 6, 1)
+    got = [(int(sc[b]),
+            "".join(f"{ln}{'MIDSH'[op]}" for op, ln in cg[b]))
+           for b in range(len(cases))]
+    bad = [(i, cases[i][0], want[i], got[i])
+           for i in range(len(cases)) if want[i] != got[i]]
+    assert not bad, f"{len(bad)}/{len(cases)} mismatch; first 3: {bad[:3]}"
+
+
+def test_native_nm_md_matches_python():
+    """nm_md_batch must reproduce finalize._nm_md on random cigar jobs."""
+    from bwamem_tpu import native
+    from bwamem_tpu import finalize as fin
+    if not native.available():
+        pytest.skip("no system compiler")
+    rng = np.random.default_rng(5)
+    cigars, qsegs, rseqs, revs = [], [], [], []
+    for i in range(200):
+        cig = []
+        x = y = 0
+        for _ in range(int(rng.integers(1, 6))):
+            op = int(rng.choice([0, 0, 0, 1, 2]))
+            ln = int(rng.integers(1, 30))
+            cig.append((op, ln))
+            x += ln if op != 2 else 0
+            y += ln if op != 1 else 0
+        q = rng.integers(0, 4, x).astype(np.uint8)
+        r = rng.integers(0, 4, y).astype(np.uint8)
+        # make most match so MD run-lengths exercise both branches
+        n = min(x, y)
+        r[:n] = np.where(rng.random(n) < 0.9, q[:n], r[:n])
+        cigars.append(cig)
+        qsegs.append(q)
+        rseqs.append(r)
+        revs.append(i % 2)
+    nm, md = native.nm_md_batch(cigars, qsegs, rseqs,
+                                np.asarray(revs, np.uint8))
+    for i in range(len(cigars)):
+        wnm, wmd = fin._nm_md(cigars[i], qsegs[i], rseqs[i], bool(revs[i]))
+        assert (int(nm[i]), md[i]) == (wnm, wmd), (i, nm[i], md[i], wnm, wmd)
