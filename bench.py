@@ -108,6 +108,8 @@ def main():
         al.align_batch_se(b, done)
         done += len(b)
 
+    from bwamem_tpu.utils import timers
+    timers.reset()
     t0 = time.perf_counter()
     done = 0
     n_sam = 0
@@ -116,6 +118,9 @@ def main():
         done += n
     dt = time.perf_counter() - t0
     rps = done / dt
+    if timers.enabled():
+        print("=== timers (steady-state stream) ===\n" + timers.report(),
+              file=sys.stderr)
 
     # per-stage breakdown of one steady-state batch → CSV beside the data
     # (the reference's perf_profile.txt, cuda/superbatch_process.cpp:11)

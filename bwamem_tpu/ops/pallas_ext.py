@@ -37,9 +37,11 @@ def _ceil8(x):
     return (x + 7) // 8 * 8
 
 
-def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
-            o_gtle, o_gscore, o_maxoff, *, LQ, L1p, t_max, mat, o_del,
-            e_del, o_ins, e_ins, zdrop):
+def _dp_pass(qT, qlenv, tlen, h0, w, tT, active, *, LQ, L1p, t_max, mat,
+             o_del, e_del, o_ins, e_ins, zdrop):
+    """One full ksw_extend2 DP over the tile at band `w` ([1, TB] i32).
+    Lanes with active == 0 are skipped (done from the start).  Returns
+    (mx, max_j, max_i, max_ie, gscore, max_off), each [1, TB] i32."""
     i32 = jnp.int32
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
@@ -51,14 +53,9 @@ def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
     NEGc = jnp.int32(NEG)
 
     row = jax.lax.broadcasted_iota(i32, (L1p, TB), 0)   # j index (query col)
-    colrow = row                                        # alias for clarity
-    qlenv = qlen[:]                                     # [1, TB]
-    tlen = tlenr[:]
-    h0 = h0r[:]
-    w = wr[:]
 
     # qpad codes [L1p, TB]: rows 0..LQ-1 hold the query, rest 4
-    q = jnp.where((row < LQ) & (row < qlenv), qT[:], jnp.int32(4))
+    q = jnp.where((row < LQ) & (row < qlenv), qT, jnp.int32(4))
     # score profile per target symbol c: prof_c[j, lane] = mat[c][q[j, lane]]
     def prof_for(c):
         m = mat[c]
@@ -85,7 +82,8 @@ def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
     max_ie = jnp.full((1, TB), -1, i32)
     gscore = jnp.full((1, TB), -1, i32)
     max_off = jnp.zeros((1, TB), i32)
-    done = (tlen <= 0).astype(i32)   # bool carries trip Mosaic's i8->i1 trunc
+    # bool carries trip Mosaic's i8->i1 trunc
+    done = ((tlen <= 0) | (active == Z)).astype(i32)
 
     def body(carry):
         (i, eh_h, eh_e, beg, end, mx, max_i, max_j, max_ie, gscore,
@@ -96,7 +94,7 @@ def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
         begi = jnp.maximum(beg, i - w)  # i32 scalar - [1,TB] i32
         endi = jnp.minimum(jnp.minimum(end, i + w + jnp.int32(1)), qlenv)
 
-        tb = tT[pl.ds(jnp.minimum(i, jnp.int32(t_max - 1)), 1), :]   # [1, TB]
+        tb = tT[pl.ds(jnp.minimum(i, jnp.int32(t_max - 1)), 1), :]  # [1, TB]
         qrow = prof[4]
         for c in range(4):
             qrow = jnp.where(tb == c, prof[c], qrow)
@@ -209,12 +207,53 @@ def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
             max_ie, gscore, max_off, done)
     out = jax.lax.while_loop(cond, body, init)
     (_, _, _, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _) = out
+    return mx, max_j, max_i, max_ie, gscore, max_off
+
+
+def _kernel(qT, qlen, tlenr, h0r, wr, ebr, tT, o_score, o_qle, o_tle,
+            o_gtle, o_gscore, o_maxoff, *, LQ, L1p, t_max, mat, o_del,
+            e_del, o_ins, e_ins, zdrop):
+    one = jnp.ones((1, TB), jnp.int32)
+    mx, max_j, max_i, max_ie, gscore, max_off = _dp_pass(
+        qT[:], qlen[:], tlenr[:], h0r[:], wr[:], tT, one, LQ=LQ, L1p=L1p,
+        t_max=t_max, mat=mat, o_del=o_del, e_del=e_del, o_ins=o_ins,
+        e_ins=e_ins, zdrop=zdrop)
     o_score[:] = mx
     o_qle[:] = max_j + 1
     o_tle[:] = max_i + 1
     o_gtle[:] = max_ie + 1
     o_gscore[:] = gscore
     o_maxoff[:] = max_off
+
+
+def _kernel_retry(qT, qlen, tlenr, h0r, w1r, w2r, thrr, tT, o_score, o_qle,
+                  o_tle, o_gtle, o_gscore, o_maxoff, o_retry, *, LQ, L1p,
+                  t_max, mat, o_del, e_del, o_ins, e_ins, zdrop):
+    """Band-doubling in kernel (bwamem.c:732-741, MAX_BAND_TRY=2): pass 1
+    at band w1; lanes with max_off >= thr AND score != h0 rerun at band w2
+    (all other lanes sit out pass 2 — its while loop exits immediately when
+    no lane in the tile needs the retry)."""
+    i32 = jnp.int32
+    Z = jnp.int32(0)
+    qlenv = qlen[:]
+    tlen = tlenr[:]
+    h0 = h0r[:]
+    one = jnp.ones((1, TB), i32)
+    kw = dict(LQ=LQ, L1p=L1p, t_max=t_max, mat=mat, o_del=o_del,
+              e_del=e_del, o_ins=o_ins, e_ins=e_ins, zdrop=zdrop)
+    r1 = _dp_pass(qT[:], qlenv, tlen, h0, w1r[:], tT, one, **kw)
+    retry = ((r1[5] >= thrr[:]) & (r1[0] != h0)
+             & (qlenv > Z)).astype(i32)
+    r2 = _dp_pass(qT[:], qlenv, tlen, h0, w2r[:], tT, retry, **kw)
+    sel = [jnp.where(retry != Z, b, a) for a, b in zip(r1, r2)]
+    mx, max_j, max_i, max_ie, gscore, max_off = sel
+    o_score[:] = mx
+    o_qle[:] = max_j + 1
+    o_tle[:] = max_i + 1
+    o_gtle[:] = max_ie + 1
+    o_gscore[:] = gscore
+    o_maxoff[:] = max_off
+    o_retry[:] = retry
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -269,3 +308,66 @@ def extend_batch_pl(queryT, qlen, targetT, tlen, h0, w, end_bonus, *,
     score, qle, tle, gtle, gscore, max_off = (o.reshape(B) for o in outs)
     return ExtendResult(score=score, qle=qle, tle=tle, gtle=gtle,
                         gscore=gscore, max_off=max_off)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lq_max", "t_max", "mat_bytes", "o_del", "e_del", "o_ins", "e_ins",
+    "zdrop", "w_opt", "interpret"))
+def extend_batch_pl2(queryT, qlen, targetT, tlen, h0, end_bonus, *,
+                     lq_max, t_max, mat_bytes, o_del, e_del, o_ins, e_ins,
+                     zdrop, w_opt, interpret=False):
+    """extend_batch_pl + the band-doubling retry INSIDE the kernel: pass 1
+    at w_opt, in-kernel retry at 2*w_opt for lanes whose pass-1 max_off
+    crossed the (w>>1)+(w>>2) threshold with a changed score
+    (bwamem.c:732-741).  Returns (ExtendResult, retried [B] int32) — the
+    caller maps `retried` to aw = 2*w_opt vs w_opt."""
+    B = queryT.shape[1]
+    assert B % TB == 0
+    LQ = lq_max
+    L1p = _ceil8(LQ + 1)
+    assert LQ <= 4095
+    mat = np.frombuffer(mat_bytes, np.int8).reshape(5, 5).astype(int)
+    matl = [[int(mat[c][b]) for b in range(5)] for c in range(5)]
+    i32 = jnp.int32
+
+    w1 = jnp.full((B,), w_opt, i32)
+    w2 = jnp.full((B,), 2 * w_opt, i32)
+    eb = end_bonus.astype(i32)
+    wadj1 = _adjust_w(w1, qlen, int(mat.max()), eb, o_ins, e_ins,
+                      o_del, e_del)
+    wadj2 = _adjust_w(w2, qlen, int(mat.max()), eb, o_ins, e_ins,
+                      o_del, e_del)
+    thr = jnp.full((B,), (w_opt >> 1) + (w_opt >> 2), i32)
+
+    qT = jnp.zeros((L1p, B), i32).at[:LQ].set(queryT.astype(i32))
+    grid = B // TB
+
+    kernel = functools.partial(
+        _kernel_retry, LQ=LQ, L1p=L1p, t_max=t_max, mat=matl, o_del=o_del,
+        e_del=e_del, o_ins=o_ins, e_ins=e_ins, zdrop=zdrop)
+
+    def vec_spec():
+        return pl.BlockSpec((1, TB), lambda g: (jnp.int32(0), g),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((L1p, TB), lambda g: (jnp.int32(0), g),
+                         memory_space=pltpu.VMEM),
+            vec_spec(), vec_spec(), vec_spec(), vec_spec(), vec_spec(),
+            vec_spec(),
+            pl.BlockSpec((t_max, TB), lambda g: (jnp.int32(0), g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[vec_spec()] * 7,
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 7,
+        interpret=interpret,
+    )(qT, qlen.reshape(1, B).astype(i32), tlen.reshape(1, B).astype(i32),
+      h0.reshape(1, B).astype(i32), wadj1.reshape(1, B),
+      wadj2.reshape(1, B), thr.reshape(1, B), targetT.astype(i32))
+    score, qle, tle, gtle, gscore, max_off, retried = (
+        o.reshape(B) for o in outs)
+    return ExtendResult(score=score, qle=qle, tle=tle, gtle=gtle,
+                        gscore=gscore, max_off=max_off), retried

@@ -110,6 +110,102 @@ def _extend_flat_fn(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
     return fn
 
 
+def _qt_blocks_dev(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
+                   t_start, t_sign, tlen, *, lq_max, t_max):
+    """Materialize the [lq_max, B] query and [t_max, B] target nt4 blocks
+    on device from the resident read batch + packed reference (the Mosaic
+    kernel consumes materialized blocks; see _extend_flat_fn_pl)."""
+    i32 = jnp.int32
+    L = seqbatch.shape[1]
+    j = jnp.arange(lq_max, dtype=jnp.int64)[:, None]       # [LQ, 1]
+    qidx = q_start[None, :] + q_sign[None, :] * j
+    qT = jnp.where(
+        j < qlen[None, :],
+        seqbatch[lane_read[None, :],
+                 jnp.clip(qidx, 0, L - 1).astype(i32)].astype(i32),
+        4)
+    ti = jnp.arange(t_max, dtype=jnp.int64)[:, None]
+    pos = jnp.clip(t_start[None, :] + t_sign[None, :] * ti,
+                   0, 2 * l_pac - 1)
+    is_rev = pos >= l_pac
+    fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
+    word = pac[(fpos >> 4).astype(i32)]
+    byte = (word >> (((fpos.astype(i32) & 15) >> 2) << 3).astype(
+        jnp.uint32)) & 0xFF
+    b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
+        jnp.uint32))) & 3
+    b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
+    tT = jnp.where(ti < tlen[None, :], b, 4).astype(i32)
+    return qT, tT
+
+
+# tests flip this to run the fused Mosaic path in Pallas interpret mode on
+# the CPU backend (parity vs the XLA host path); production never sets it
+_PL_INTERPRET = False
+
+
+@functools.lru_cache(maxsize=8)
+def _extend_fused_fn(mat_bytes, o_del, e_del, o_ins, e_ins, zdrop, a,
+                     pen_clip5, pen_clip3, w_opt, interpret=False):
+    """ONE dispatch for the whole mem_chain2aln extension of a lane tile:
+    left extension (+in-kernel band-doubling retry, bwamem.c:732-741),
+    the left→right score handoff (h0 of the right pass = the selected
+    left score, bwamem.c:744-753), and the right extension (+retry) —
+    the reference runs this per seed inside one kernel
+    (cuda/bwamem_GPU.cu:2616-2703); the previous host driver paid 4+
+    sequential dispatch+fetch round trips (~25 ms each on the tunneled
+    backend) per size class."""
+
+    @functools.partial(jax.jit, static_argnames=("lq_max", "t_max"))
+    def fn(pac, l_pac, seqbatch, packed, *, lq_max, t_max):
+        from bwamem_tpu.ops import pallas_ext
+        (lane_read, s_qb, s_len, s_rb, rmax0, rmax1, l_seq) = (
+            packed[i] for i in range(7))
+        i32 = jnp.int32
+        B = packed.shape[1]
+        lane_read = lane_read.astype(i32)
+        neg1 = jnp.full((B,), -1, jnp.int64)
+        pos1 = jnp.ones((B,), jnp.int64)
+        kw = dict(mat_bytes=mat_bytes, o_del=o_del, e_del=e_del,
+                  o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, w_opt=w_opt,
+                  interpret=interpret)
+
+        # ---- left: reversed prefix vs [rmax0, s_rb) reversed ----
+        qlen_l = s_qb.astype(i32)
+        tlen_l = jnp.where(s_qb > 0, s_rb - rmax0, 0).astype(i32)
+        h0_l = jnp.maximum(s_len * a, 1).astype(i32)
+        qT, tT = _qt_blocks_dev(pac, l_pac, seqbatch, lane_read,
+                                s_qb - 1, neg1, qlen_l, s_rb - 1, neg1,
+                                tlen_l, lq_max=lq_max, t_max=t_max)
+        eb5 = jnp.full((B,), pen_clip5, i32)
+        L, retL = pallas_ext.extend_batch_pl2(
+            qT, qlen_l, tT, tlen_l, h0_l, eb5, lq_max=lq_max, t_max=t_max,
+            **kw)
+
+        # h0 of the right pass: the accepted left score (bwamem.c:744)
+        score_l = jnp.where(qlen_l > 0, L.score, (s_len * a).astype(i32))
+        sc0 = jnp.maximum(score_l, 1)
+
+        # ---- right: suffix vs [s_rb + s_len, rmax1) ----
+        s_qe = s_qb + s_len
+        qlen_r = (l_seq - s_qe).astype(i32)
+        tlen_r = jnp.where(s_qe < l_seq, rmax1 - (s_rb + s_len),
+                           0).astype(i32)
+        qT, tT = _qt_blocks_dev(pac, l_pac, seqbatch, lane_read,
+                                s_qe, pos1, qlen_r, s_rb + s_len, pos1,
+                                tlen_r, lq_max=lq_max, t_max=t_max)
+        eb3 = jnp.full((B,), pen_clip3, i32)
+        R, retR = pallas_ext.extend_batch_pl2(
+            qT, qlen_r, tT, tlen_r, sc0, eb3, lq_max=lq_max, t_max=t_max,
+            **kw)
+        # ONE stacked output → one D2H fetch for the entire stage
+        return jnp.stack([L.score, L.qle, L.tle, L.gtle, L.gscore,
+                          L.max_off, retL, R.score, R.qle, R.tle, R.gtle,
+                          R.gscore, R.max_off, retR])
+
+    return fn
+
+
 @functools.lru_cache(maxsize=8)
 def _extend_flat_fn_pl(mat_bytes: bytes, o_del: int, e_del: int, o_ins: int,
                        e_ins: int, zdrop: int):
@@ -330,6 +426,86 @@ def _extend_side(batcher, opt, lane_read, q_start, q_sign, qlen, t_start,
     return r1, aw
 
 
+def _extend_both_fused(al, opt, mat, seq_dev, ii, s_qb, s_len, s_rb, rmax0,
+                       rmax1, l_seq):
+    """TPU driver for _extend_fused_fn: classes lanes by the larger of the
+    two target spans, ships ONE [7, B] array per tile, fetches ONE [14, B]
+    result.  Returns (L results, aw0, R results, aw1) shaped like two
+    _extend_side calls."""
+    M = len(ii)
+    mat_np = np.asarray(mat, np.int8)
+    base_fn = _extend_fused_fn(
+        mat_np.tobytes(), opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.zdrop, opt.a, opt.pen_clip5, opt.pen_clip3, opt.w,
+        interpret=_PL_INTERPRET)
+    mesh = getattr(al, "mesh", None)
+    if mesh is None:
+        fn = base_fn
+    else:
+        def fn(*args, lq_max, t_max):
+            f = pmesh.rowmap(mesh, base_fn,
+                             (("lq_max", lq_max), ("t_max", t_max)),
+                             (True, True, True, "ax1"), stacked_out=True)
+            return f(*args)
+
+    qlen_l = s_qb.astype(np.int64)
+    qlen_r = (l_seq - (s_qb + s_len)).astype(np.int64)
+    # the (h << 12) | col packing bound (see _ExtBatcher.submit): the right
+    # pass starts from the left result, so both windows count
+    max_mat = int(mat_np.max())
+    hi = int((np.maximum(s_len * opt.a, 1)
+              + (qlen_l + qlen_r) * max_mat).max()) if M else 0
+    if hi >= (1 << 18):
+        raise ValueError(
+            "extension score bound exceeded: %d >= 2^18; lower -A or "
+            "split the read" % hi)
+    tlen_l = np.where(s_qb > 0, s_rb - rmax0, 0)
+    tlen_r = np.where(s_qb + s_len < l_seq, rmax1 - (s_rb + s_len), 0)
+    tspan = np.maximum(tlen_l, tlen_r)
+    lq_fixed = _bucket(max(int(max(qlen_l.max(), qlen_r.max())), 1), lo=16)
+
+    classes = [64, 256, max(1024, _bucket(int(tspan.max()) if M else 1))]
+    assigned = np.zeros(M, bool)
+    parts = []
+    for tcap in classes:
+        sel = (~assigned) & (tspan <= tcap)
+        assigned |= sel
+        cls_idx = np.nonzero(sel)[0]
+        if cls_idx.size == 0:
+            continue
+        for s0, c in _shapes.chunks(cls_idx.size, _shapes.PL_LANE_TILE):
+            idx = cls_idx[s0:s0 + c]
+            # the Mosaic kernel tiles lanes in blocks of TB=128
+            B = max(_shapes.lanes(idx.size, fine_lo=8, coarse_lo=512), 128)
+            packed = np.zeros((7, B), np.int64)
+            for r_, a_ in enumerate((ii, s_qb, s_len, s_rb, rmax0, rmax1,
+                                     l_seq)):
+                packed[r_, : idx.size] = a_[idx]
+            res = fn(al.fm.pac, al.l_pac, seq_dev,
+                     jnp.asarray(packed), lq_max=lq_fixed, t_max=tcap)
+            try:
+                res.copy_to_host_async()
+            except Exception:
+                pass
+            parts.append((idx, res))
+
+    FIELDS = _ExtBatcher.FIELDS
+    L = {k: np.zeros(M, np.int32) for k in FIELDS}
+    R = {k: np.zeros(M, np.int32) for k in FIELDS}
+    aw0 = np.full(M, opt.w, np.int32)
+    aw1 = np.full(M, opt.w, np.int32)
+    for idx, res in parts:
+        arr = np.asarray(res)
+        timers.add_bytes("d2h.extend", arr.nbytes)
+        k = idx.size
+        for fi, name in enumerate(FIELDS):
+            L[name][idx] = arr[fi, :k]
+            R[name][idx] = arr[7 + fi, :k]
+        aw0[idx] = np.where(arr[6, :k] != 0, opt.w * 2, opt.w)
+        aw1[idx] = np.where(arr[13, :k] != 0, opt.w * 2, opt.w)
+    return L, aw0, R, aw1
+
+
 def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     """al: Aligner; reads: list[Read]; seq: packed [N, L] nt4 for THESE
     reads; wr: WorklistNp.  Returns per-read AlnReg lists in mem_chain2aln
@@ -370,11 +546,19 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
     neg1 = np.full(M, -1, np.int64)
     mesh = getattr(al, "mesh", None)
-    batcherL = _ExtBatcher(opt, mat, opt.pen_clip5, al.fm.pac, l_pac,
-                           seq_dev, mesh=mesh)
-    with timers.section("ext.left"):
-        L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
-                              s_rb - 1, neg1, ltl, h0)
+    fused = (not _shapes._is_cpu()) or _PL_INTERPRET
+    if fused:
+        # ONE dispatch per lane tile covers left + retry + right + retry
+        with timers.section("ext.fused"):
+            L, aw0, R, aw1 = _extend_both_fused(
+                al, opt, mat, seq_dev, ii, s_qb, s_len, s_rb, rmax0,
+                rmax1, l_seq)
+    else:
+        batcherL = _ExtBatcher(opt, mat, opt.pen_clip5, al.fm.pac, l_pac,
+                               seq_dev, mesh=mesh)
+        with timers.section("ext.left"):
+            L, aw0 = _extend_side(batcherL, opt, ii, s_qb - 1, neg1, lql,
+                                  s_rb - 1, neg1, ltl, h0)
 
     has_left = s_qb > 0
     loc_l = (L["gscore"] <= 0) | (L["gscore"] <= L["score"] - opt.pen_clip5)
@@ -394,11 +578,12 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     rtl = np.where(s_qe < l_seq, rmax1 - (s_rb + s_len), 0).astype(np.int32)
     sc0 = np.maximum(score_l, 1).astype(np.int32)
     pos1 = np.ones(M, np.int64)
-    batcherR = _ExtBatcher(opt, mat, opt.pen_clip3, al.fm.pac, l_pac,
-                           seq_dev, mesh=mesh)
-    with timers.section("ext.right"):
-        R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
-                              s_rb + s_len, pos1, rtl, sc0)
+    if not fused:
+        batcherR = _ExtBatcher(opt, mat, opt.pen_clip3, al.fm.pac, l_pac,
+                               seq_dev, mesh=mesh)
+        with timers.section("ext.right"):
+            R, aw1 = _extend_side(batcherR, opt, ii, s_qe, pos1, rql,
+                                  s_rb + s_len, pos1, rtl, sc0)
 
     has_right = s_qe < l_seq
     loc_r = (R["gscore"] <= 0) | (R["gscore"] <= R["score"] - opt.pen_clip3)
