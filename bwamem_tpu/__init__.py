@@ -24,6 +24,20 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache.  The axon backend also ignores the
+# JAX_COMPILATION_CACHE_DIR environment variable unless mirrored through the
+# config API; without it every process pays the full XLA compile of the big
+# fused pipeline programs (minutes) on startup.  Opt out with
+# BWAMEM_TPU_JAX_CACHE=0; override the location by setting the variable to a
+# path.
+_cache = os.environ.get("BWAMEM_TPU_JAX_CACHE", "")
+if _cache != "0":
+    if not _cache or _cache == "1":
+        _cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+            os.path.join(os.path.expanduser("~"), ".cache", "bwamem_tpu_jax")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __version__ = "0.1.0"
 
 from bwamem_tpu.config import MemOptions  # noqa: E402,F401
