@@ -43,8 +43,12 @@ def ensure_data():
     import numpy as np
     rebuild = True
     if os.path.exists(str(prefix) + ".ours.bt.npz"):
+        import json
         with np.load(str(prefix) + ".ours.bt.npz") as z:
-            rebuild = "kmer_x0" not in z     # rebuilt once to add the table
+            meta = json.loads(bytes(z["meta"]).decode())
+            # rebuilt when the k-mer table or the dense runtime SA samples
+            # (build.runtime_sa_interval) are missing
+            rebuild = "kmer_x0" not in z or meta.get("sa_intv", 32) > 4     # rebuilt once to add the table
     if rebuild:
         if not os.path.exists(fa):
             contigs = simdata.make_genome(GENOME, seed=42, n_contigs=1)

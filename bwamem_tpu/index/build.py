@@ -20,8 +20,22 @@ import numpy as np
 from bwamem_tpu.index.fmindex import BwaIndex, Contig, AmbRun
 
 OCC_INTERVAL = 128
-SA_INTERVAL = 32
+SA_INTERVAL = 32        # the reference's on-disk stride (bwt_cal_sa(bwt,32))
 KMER_K = 12
+
+
+def runtime_sa_interval(seq_len: int) -> int:
+    """SA sample stride for OUR index (.bt.npz).  The device SA lookup is a
+    lockstep inverse-Psi walk of up to sa_intv-1 steps (ops/fm.sa_lookup) and
+    was the most expensive seeding op at the reference's stride of 32
+    (bwt.c:62-84) — denser samples trade HBM for a 4-8x shorter walk.  The
+    .sa FILE keeps stride 32 for bit-parity (save_reference_format
+    subsamples).  Policy: densest power-of-two stride >= 4 whose table stays
+    under ~1 GB of device memory."""
+    for intv in (4, 8, 16, 32):
+        if (seq_len // intv + 1) * 8 <= (1 << 30):
+            return intv
+    return SA_INTERVAL
 
 # nst_nt4_table semantics (bntseq.c:46): A/a→0 C/c→1 G/g→2 T/t→3, else 4
 _NT4 = np.full(256, 4, dtype=np.uint8)
@@ -260,7 +274,7 @@ class BuildResult:
 
 
 def build_index(fasta_path: str, with_kmer_table: bool = False,
-                sa_interval: int = SA_INTERVAL) -> BwaIndex:
+                sa_interval: int | None = None) -> BwaIndex:
     fwd, contigs, ambs = pack_fasta(fasta_path)
     l_pac = len(fwd)
     both = np.concatenate([fwd, 3 - fwd[::-1]])  # + reverse complement
@@ -271,6 +285,8 @@ def build_index(fasta_path: str, with_kmer_table: bool = False,
     np.cumsum(counts, out=l2[1:])
 
     n = len(both)
+    if sa_interval is None:
+        sa_interval = runtime_sa_interval(n)
     sa_samples = sa_full[::sa_interval].copy()  # ranks 0, intv, 2*intv, ...
 
     kmer = None

@@ -193,12 +193,19 @@ class BwaIndex:
             np.array([self.primary], dtype=np.uint64).tofile(f)
             self.L2[1:5].astype(np.uint64).tofile(f)
             self._interleaved_bwt().tofile(f)
-        # .sa (bwt.c:396-407): primary, L2[1..4], sa_intv, seq_len, sa[1:]
+        # .sa (bwt.c:396-407): primary, L2[1..4], sa_intv, seq_len, sa[1:].
+        # Our runtime stride may be denser than the reference's 32
+        # (build.runtime_sa_interval); the FILE is always written at stride
+        # 32 so it stays bit-identical to `bwa index` output.
+        file_intv, samples = self.sa_intv, self.sa_samples
+        if file_intv < 32 and 32 % file_intv == 0:
+            samples = samples[:: 32 // file_intv]
+            file_intv = 32
         with open(prefix + ".sa", "wb") as f:
             np.array([self.primary], dtype=np.uint64).tofile(f)
             self.L2[1:5].astype(np.uint64).tofile(f)
-            np.array([self.sa_intv, self.seq_len], dtype=np.uint64).tofile(f)
-            sa = self.sa_samples.astype(np.uint64).copy()
+            np.array([file_intv, self.seq_len], dtype=np.uint64).tofile(f)
+            sa = samples.astype(np.uint64).copy()
             sa[1:].tofile(f)
 
     @classmethod

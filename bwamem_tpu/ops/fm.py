@@ -229,7 +229,14 @@ def bwt_b0(fm: FM, x: jax.Array) -> jax.Array:
 
 def inv_psi(fm: FM, k: jax.Array) -> jax.Array:
     """Inverse-Psi step (bwt_invPsi, bwt.c:53-59): ONE combined-row gather
-    serves both the BWT character and its occ count."""
+    serves both the BWT character and its occ count.
+
+    Unlike occ4, only ONE symbol's count is needed here — the BWT character
+    c at kk.  Counting a per-lane symbol is done by XORing the packed words
+    with c replicated into every 2-bit lane (c * 0x5555...): positions equal
+    to c become 00, and 00-pairs are counted with the usual (~t>>1)&~t mask.
+    This quarters the popcount work of the SA-walk loop, the hottest seeding
+    op at scale (sa_lookup runs this body up to sa_intv-1 times)."""
     it = fm.L2.dtype
     kk = k - (k >= fm.primary).astype(k.dtype)
     kk = jnp.clip(kk, 0, fm.seq_len - 1)
@@ -240,8 +247,18 @@ def inv_psi(fm: FM, k: jax.Array) -> jax.Array:
     sh = (((~kk) & 15) << 1).astype(jnp.uint32)
     c = ((word >> sh) & 3).astype(jnp.int32)
     m = (kk & (OCC_INTERVAL - 1)).astype(jnp.int32) + 1
-    cnt4 = base + _block_counts(words, m, it)
-    o = _select4(cnt4, c)
+    # masked block words: only the first m bases participate
+    cnt = jnp.clip(m[..., None] - _WORD_OFFS, 0, 16)
+    shift = jnp.clip((16 - cnt) * 2, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(cnt == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) << shift)
+    w = words & mask
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    t = ~(w ^ pat)                       # 2-bit lanes equal to c become 11
+    m00 = (t >> 1) & t & jnp.uint32(0x55555555)
+    occ_c = jax.lax.population_count(m00).sum(-1, dtype=it)
+    # masked-out (zeroed) positions read as symbol 0 and were counted
+    occ_c = occ_c - jnp.where(c == 0, (128 - m).astype(it), jnp.zeros((), it))
+    o = _select4(base, c) + occ_c
     lane = jnp.arange(4, dtype=jnp.int32)
     l2c = jnp.where(lane == c[..., None], fm.L2[:4], 0).sum(
         -1, dtype=fm.L2.dtype)

@@ -81,6 +81,26 @@ def kmer_pre(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array) -> jax.Array:
                      jnp.asarray([0, 0, -1], pre.dtype))
 
 
+def kmer_pre0(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array) -> jax.Array:
+    """Position-0-only variant of kmer_pre: the pass-1 multi-pivot scan
+    consults the fast-start table ONLY for pivot 0 (see forward_scan), so
+    gathering the full [N, L, 3] pre-table there wastes a large random
+    gather.  Returns [N, 1, 3] (slot 0 = the position-0 interval)."""
+    N, L = seq.shape
+    i32 = jnp.int32
+    code = jnp.zeros((N,), i32)
+    bad = jnp.zeros((N,), bool)
+    for j in range(KMER_K):
+        b = seq[:, j] if j < L else jnp.full((N,), 4, seq.dtype)
+        code = code * 4 + jnp.clip(b.astype(i32), 0, 3)
+        bad = bad | (b >= 4)
+    valid = (~bad) & (l_seq >= KMER_K)
+    pre = fm.kmer[jnp.where(valid, code, 0)]          # [N, 3]
+    pre = jnp.where(valid[:, None], pre,
+                    jnp.asarray([0, 0, -1], pre.dtype))
+    return pre[:, None, :]
+
+
 class Candidates(NamedTuple):
     x0: jax.Array      # [N, C] interval (SA range start)
     x1: jax.Array      # [N, C] reverse-complement range start

@@ -25,6 +25,7 @@ cuda/batch_config.h:5-13, plays the same role).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,12 +179,15 @@ class Aligner:
     # ------------------------------------------------ shared host phases
 
     def _regs_from_device(self, reads: list[Read]) -> list[list[fin.AlnReg]]:
-        """Device front half (compact seeding + grouped chaining) + flat
-        speculative extension + the tail of mem_align1_core (dedup +
-        is_alt, bwamem.c:1083-1095).  Returns per-read reg lists,
-        pre-mark_primary."""
-        from bwamem_tpu.pipeline import (chainflt_host, extend_host,
-                                         seeding_host)
+        """Device front half + flat speculative extension + the tail of
+        mem_align1_core (dedup + is_alt, bwamem.c:1083-1095).  Returns
+        per-read reg lists, pre-mark_primary.
+
+        Primary path: pipeline.device_front (everything through extension
+        on device, one fetch).  Rows it cannot take (cap overflows, long
+        reads needing mem_flt_chained_seeds) and whole batches it does not
+        support (mesh) run the host-compacted path."""
+        from bwamem_tpu.pipeline import device_front
         n = len(reads)
         for r in reads:
             if r.l_seq > 4096:
@@ -195,6 +199,37 @@ class Aligner:
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
+        use_device_front = (device_front.supported(self, reads)
+                            and os.environ.get("BWAMEM_TPU_FRONT") != "host")
+        if use_device_front:
+            out, fb_rows = device_front.front_ext(self, reads, seq, l_seq)
+            if fb_rows:
+                sub = [reads[i] for i in fb_rows]
+                sub_regs = self._regs_host_front(sub)
+                for gi, i in enumerate(fb_rows):
+                    out[i] = sub_regs[gi]
+        else:
+            out = self._regs_host_front(reads, seq=seq, l_seq=l_seq)
+        for i in range(n):
+            ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
+                                      reads[i].seq, out[i])
+            for r in ri:
+                if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
+                    r.is_alt = 1
+            out[i] = ri
+        return out
+
+    def _regs_host_front(self, reads: list[Read], seq=None, l_seq=None):
+        """Host-compacted front half (pipeline.seeding_host +
+        pipeline.extend_host) — the fallback for mesh batches and rows the
+        device front cannot take."""
+        from bwamem_tpu.pipeline import (chainflt_host, extend_host,
+                                         seeding_host)
+        n = len(reads)
+        if seq is None:
+            N = _bucket(n, lo=8)
+            L = _bucket(max(r.l_seq for r in reads), lo=32)
+            seq, l_seq = pack_batch(reads, N, L)
         groups = seeding_host.front_half(self, reads, seq, l_seq)
         out: list[list[fin.AlnReg]] = [[] for _ in range(n)]
         for ridx, wr in groups:
@@ -206,13 +241,6 @@ class Aligner:
                                                 wr)
             for gi, i in enumerate(ridx):
                 out[i] = g_regs[gi]
-        for i in range(n):
-            ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
-                                      reads[i].seq, out[i])
-            for r in ri:
-                if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
-                    r.is_alt = 1
-            out[i] = ri
         return out
 
     def _phaseA_gen_alt(self, regs, read, jobs):

@@ -1,0 +1,847 @@
+"""Device-resident front half: reads → extended alignment candidates in a
+handful of chained device programs with ONE host fetch.
+
+Round-2 profiling inverted the cost model this pipeline was built on: on the
+current backend device compute runs at full HBM speed, while every H2D
+upload crawls (~36 MB/s) and every dispatch+fetch round trip costs ~30 ms.
+The host-compacted front half (pipeline/seeding_host.py) pays that transport
+tax between every stage — seeding fetch, SA-rank upload/fetch, per-group
+seed-grid uploads, worklist fetches, extension-lane uploads.  This module
+keeps every intermediate on device:
+
+  P1/P2/P3  3-pass SMEM seeding (ops/smem) emitting flat interval arenas
+            (mem_collect_intv, reference bwamem.c:137-185)
+  EXPAND    occurrence sampling + SA walk + rid filter + l_rep union +
+            scatter into per-read seed grids (mem_chain head,
+            bwamem.c:272-307)
+  CHAIN     lockstep B-tree-equivalent chaining + chain weights + reference
+            windows (mem_chain/mem_chain_weight, bwamem.c:197-332) + a
+            compact per-chain arena for the host's exact filter
+  EXT       every seed of every heavy chain extended speculatively by the
+            fused extension kernel (left + band-doubling retry + right,
+            ksw_extend2 / cuda/ksw_CUDA.cu:426-541 semantics; Pallas on
+            TPU, the XLA row-scan on CPU) + per-item seedcov — packed into
+            one fetchable result
+
+The host then runs the EXACT mem_chain_flt (including the ks_introsort
+tie-order replay, chainflt_host.chain_flt_exact) over the fetched per-chain
+arena — superseding both the device stable-order filter and the old
+dup-weight row patch — and replays mem_chain2aln's sequential skip/accept
+walk (bwamem.c:674-793) with the extension results in hand.  Extending
+dropped-chain seeds wastes only device lanes; acceptance is bit-identical
+to the reference.
+
+Reads that overflow the static caps (seed count > S) and long reads that
+enter mem_flt_chained_seeds (bwamem.c:607-625) fall back to the
+host-compacted path row-by-row.  The mesh (multi-chip) production path also
+still runs the host-compacted front; it moves here with the multi-host
+work.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwamem_tpu.config import MemOptions
+from bwamem_tpu.finalize import AlnReg
+from bwamem_tpu.ops import align_ext
+from bwamem_tpu.ops import chain as chainops
+from bwamem_tpu.ops import fm as fmops
+from bwamem_tpu.ops import smem as smemops
+from bwamem_tpu.pipeline import _shapes
+from bwamem_tpu.pipeline import chainflt_host
+from bwamem_tpu.pipeline.seeding_host import _compact_flat
+from bwamem_tpu.utils import timers
+
+
+def _bucket(x: int, lo: int = 8) -> int:
+    n = lo
+    while n < x:
+        n <<= 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# P1: pass-1 SMEM scan (bwt_smem1a forward+backward over every pivot chain)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "kmax", "emax", "min_seed_len", "use_kmer"))
+def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer):
+    N, L = seq.shape
+    it = fm.L2.dtype
+    i32 = jnp.int32
+    pre = smemops.kmer_pre0(fm, seq, l_seq) if use_kmer else None
+    c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
+                              jnp.ones((N,), it), cap, multi_pivot=True,
+                              pre=pre)
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
+    slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
+    mask1 = (slots < c1.n[:, None]).reshape(-1)
+    (lane_read, pivot, fx0, fx1, fx2), nk, k_over, pos1 = _compact_flat(
+        mask1, [(rows, i32), (c1.pivot, i32), (c1.x0, it), (c1.x1, it),
+                (c1.x2, it)], kmax)
+    fvalid = jnp.arange(kmax, dtype=i32) < nk
+    s_f, x0_f, x2_f = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, fx0, fx1, fx2, jnp.ones((kmax,), it),
+        fvalid)
+    maskg = mask1.reshape(N, cap)
+    back = jnp.where(maskg, jnp.minimum(pos1.reshape(N, cap), kmax - 1), 0)
+    s_grid = jnp.where(maskg, s_f[back], 0)
+    x0_grid = jnp.where(maskg, x0_f[back], 0)
+    x2_grid = jnp.where(maskg, x2_f[back], 0)
+    emit1 = smemops.emit_mask(c1, s_grid.reshape(-1))
+    smem1 = emit1 & ((c1.end - s_grid) >= min_seed_len)
+    (e_read, e_s, e_e, e_x0, e_x2), n1, e_over, _ = _compact_flat(
+        smem1.reshape(-1), [(rows, it), (s_grid, it), (c1.end, it),
+                            (x0_grid, it), (x2_grid, it)], emax)
+    sec1 = jnp.stack([e_read, e_s, e_e, e_x0, e_x2])
+    flags = (c1.overflow.any().astype(i32)
+             | (k_over.astype(i32) << 1) | (e_over.astype(i32) << 2))
+    meta = jnp.stack([n1.astype(i32), flags, c1.n.max().astype(i32),
+                      nk.astype(i32), n1.astype(i32),
+                      jnp.zeros((), i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32)])
+    return sec1, meta
+
+
+# ---------------------------------------------------------------------------
+# P2: re-seeding of long low-occurrence SMEMs (bwamem.c:155-165)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "pmax", "cand2", "k2max", "e2max", "min_seed_len", "split_len",
+    "split_width"))
+def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
+            min_seed_len, split_len, split_width):
+    it = fm.L2.dtype
+    i32 = jnp.int32
+    emax = sec1.shape[1]
+    e_read, e_s, e_e, e_x0, e_x2 = (sec1[i] for i in range(5))
+    lane1 = jnp.arange(emax, dtype=i32)
+    qual = ((lane1 < n1) & ((e_e - e_s) >= split_len)
+            & (e_x2 <= split_width))
+    (p_read, p_start, p_min), n_par, p_over, _ = _compact_flat(
+        qual, [(e_read.astype(i32), i32),
+               ((e_s + e_e).astype(i32) >> 1, i32), (e_x2 + 1, it)], pmax)
+    p_alive = jnp.arange(pmax, dtype=i32) < n_par
+    p_lseq = jnp.where(p_alive, l_seq[p_read], 0).astype(l_seq.dtype)
+    c2 = smemops.forward_scan(
+        fm, seq, p_lseq, jnp.where(p_alive, p_start, 0),
+        jnp.where(p_alive, p_min, 1), cand2, multi_pivot=False,
+        lane_read=p_read)
+    rows2 = jnp.broadcast_to(p_read[:, None], (pmax, cand2))
+    slots2 = jnp.broadcast_to(jnp.arange(cand2, dtype=i32)[None, :],
+                              (pmax, cand2))
+    mask2 = (slots2 < c2.n[:, None]).reshape(-1)
+    min2g = jnp.broadcast_to(p_min[:, None], (pmax, cand2))
+    (lr2, pv2, bx0, bx1, bx2, mi2), nk2, k2_over, pos2 = _compact_flat(
+        mask2, [(rows2, i32), (c2.pivot, i32), (c2.x0, it), (c2.x1, it),
+                (c2.x2, it), (min2g, it)], k2max)
+    v2 = jnp.arange(k2max, dtype=i32) < nk2
+    s2f, x0f2, x2f2 = smemops.back_extend_flat(
+        fm, seq, lr2, pv2, bx0, bx1, bx2, mi2, v2)
+    mask2g = mask2.reshape(pmax, cand2)
+    back2 = jnp.where(mask2g,
+                      jnp.minimum(pos2.reshape(pmax, cand2), k2max - 1), 0)
+    s2_grid = jnp.where(mask2g, s2f[back2], 0)
+    x0_2g = jnp.where(mask2g, x0f2[back2], 0)
+    x2_2g = jnp.where(mask2g, x2f2[back2], 0)
+    emit2 = smemops.emit_mask(c2, s2_grid.reshape(-1))
+    smem2 = emit2 & ((c2.end - s2_grid) >= min_seed_len)
+    (e2_read, e2_s, e2_e, e2_x0, e2_x2), n2, e2_over, _ = _compact_flat(
+        smem2.reshape(-1), [(rows2, it), (s2_grid, it), (c2.end, it),
+                            (x0_2g, it), (x2_2g, it)], e2max)
+    sec2 = jnp.stack([e2_read, e2_s, e2_e, e2_x0, e2_x2])
+    flags = ((p_over.astype(i32) << 3) | (c2.overflow.any().astype(i32) << 4)
+             | (k2_over.astype(i32) << 5) | (e2_over.astype(i32) << 6))
+    meta = jnp.stack([n2.astype(i32), flags, n_par.astype(i32),
+                      c2.n.max().astype(i32), nk2.astype(i32),
+                      n2.astype(i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32)])
+    return sec2, meta
+
+
+# ---------------------------------------------------------------------------
+# P3: LAST-like forward-only pass (bwt_seed_strategy1, bwt.c:358-379)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "p3cap", "e3max", "min_seed_len", "max_mem_intv", "use_kmer"))
+def _p3_jit(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
+            use_kmer):
+    N, L = seq.shape
+    it = fm.L2.dtype
+    i32 = jnp.int32
+    pre = smemops.kmer_pre(fm, seq, l_seq) if use_kmer else None
+    p3x0, p3x2, p3s, p3e, p3n, p3over = smemops.pass3_scan(
+        fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap, pre=pre)
+    rows3 = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, p3cap))
+    m3 = (jnp.broadcast_to(jnp.arange(p3cap, dtype=i32)[None, :],
+                           (N, p3cap)) < p3n[:, None])
+    (e3_read, e3_s, e3_e, e3_x0, e3_x2), n3, e3_over, _ = _compact_flat(
+        m3.reshape(-1), [(rows3, it), (p3s, it), (p3e, it),
+                         (p3x0, it), (p3x2, it)], e3max)
+    sec3 = jnp.stack([e3_read, e3_s, e3_e, e3_x0, e3_x2])
+    flags = ((p3over.any().astype(i32) << 7) | (e3_over.astype(i32) << 8))
+    meta = jnp.stack([n3.astype(i32), flags, p3n.max().astype(i32),
+                      n3.astype(i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32)])
+    return sec3, meta
+
+
+# ---------------------------------------------------------------------------
+# EXPAND: flat intervals → per-read seed grids
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_occ", "a_seed", "s_cap",
+                                             "n_reads"))
+def _expand_jit(fm, ctg_offsets, sec1, n1, sec2, n2, sec3, n3, *, max_occ,
+                a_seed, s_cap, n_reads):
+    it = fm.L2.dtype
+    i32 = jnp.int32
+    N = n_reads
+    S = s_cap
+    e1, e2w, e3 = sec1.shape[1], sec2.shape[1], sec3.shape[1]
+    read = jnp.concatenate([sec1[0], sec2[0], sec3[0]])
+    s = jnp.concatenate([sec1[1], sec2[1], sec3[1]])
+    e = jnp.concatenate([sec1[2], sec2[2], sec3[2]])
+    x0 = jnp.concatenate([sec1[3], sec2[3], sec3[3]])
+    x2 = jnp.concatenate([sec1[4], sec2[4], sec3[4]])
+    A = read.shape[0]
+    lane = jnp.arange(A, dtype=i32)
+    valid = jnp.where(lane < e1, lane < n1,
+                      jnp.where(lane < e1 + e2w, lane - e1 < n2,
+                                lane - e1 - e2w < n3))
+    # sort by (read, start, end) — ks_introsort(mem_intv) on info; stable,
+    # ties keep pass-1 < pass-2 < pass-3 emission order (seeding_host's
+    # np.lexsort equivalent)
+    BIGR = jnp.asarray(np.iinfo(np.int64 if it == jnp.int64 else
+                                np.int32).max, it)
+    readk = jnp.where(valid, read, BIGR)
+    readk, s, e, x0, x2, validi = jax.lax.sort(
+        (readk, s, e, x0, x2, valid.astype(i32)), num_keys=3,
+        is_stable=True)
+    valid = validi != 0
+    read = jnp.where(valid, readk, 0).astype(i32)
+
+    # ---- occurrence sampling (mem_chain loop, bwamem.c:280-307) ----
+    counts = jnp.where(valid, jnp.minimum(x2, max_occ), 0).astype(it)
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+    seed_arena_over = total > a_seed
+    slots = jnp.arange(a_seed, dtype=it)
+    own = jnp.searchsorted(cum, slots, side="right").astype(i32)
+    ownc = jnp.clip(own, 0, A - 1)
+    prev = jnp.where(ownc > 0, cum[jnp.maximum(ownc - 1, 0)],
+                     jnp.zeros((), it))
+    k_within = slots - prev
+    x0o = x0[ownc]
+    x2o = x2[ownc]
+    step = jnp.where(x2o > max_occ, x2o // max_occ, 1)
+    svalid = slots < total
+    rank = jnp.where(svalid, x0o + k_within * step, 0).astype(it)
+    rbeg = fmops.sa_lookup(fm, rank)
+    sread = jnp.where(svalid, read[ownc], N).astype(i32)
+    qbeg = jnp.where(svalid, s[ownc], 0).astype(i32)
+    slen = jnp.where(svalid, (e - s)[ownc], 0).astype(i32)
+    rid = fmops.intv2rid(fm, ctg_offsets, rbeg, rbeg + slen)
+    svalid = svalid & (rid >= 0)
+
+    # per-read slot among valid seeds (invalid-rid seeds dropped BEFORE slot
+    # assignment, matching seeding_host.front_half)
+    csum = jnp.cumsum(svalid.astype(i32))
+    seed_cnt = jnp.zeros((N,), i32).at[sread].add(svalid.astype(i32),
+                                                  mode="drop")
+    read_base = jnp.concatenate([jnp.zeros((1,), i32),
+                                 jnp.cumsum(seed_cnt)[:-1]])
+    slot = csum - 1 - read_base[jnp.clip(sread, 0, N - 1)]
+    ok = svalid & (slot < S)
+    tgt_r = jnp.where(ok, sread, N)
+    tgt_s = jnp.where(ok, slot, 0)
+    g_qbeg = jnp.zeros((N, S), i32).at[tgt_r, tgt_s].set(qbeg, mode="drop")
+    g_len = jnp.zeros((N, S), i32).at[tgt_r, tgt_s].set(slen, mode="drop")
+    g_rbeg = jnp.zeros((N, S), it).at[tgt_r, tgt_s].set(rbeg, mode="drop")
+    g_rid = jnp.full((N, S), -1, i32).at[tgt_r, tgt_s].set(rid, mode="drop")
+    g_valid = jnp.zeros((N, S), bool).at[tgt_r, tgt_s].set(ok, mode="drop")
+
+    # ---- l_rep: union of repetitive intervals (bwamem.c:272-279) ----
+    rep = valid & (x2 > max_occ)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), read[1:] != read[:-1]])
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
+
+    ends = jnp.where(rep, e, -1)
+    run, _ = jax.lax.associative_scan(op, (ends, seg_start))
+    prev_end = jnp.concatenate([jnp.full((1,), -1, run.dtype), run[:-1]])
+    prev_end = jnp.where(seg_start, -1, prev_end)
+    contrib = jnp.where(rep, jnp.maximum(e - jnp.maximum(s, prev_end), 0), 0)
+    l_rep = jnp.zeros((N,), it).at[read].add(
+        contrib.astype(it), mode="drop")
+
+    seeds = chainops.Seeds(
+        rbeg=g_rbeg, qbeg=g_qbeg, len=g_len, rid=g_rid, valid=g_valid,
+        frac_rep=l_rep.astype(jnp.float32),
+        overflow=seed_cnt > S)
+    cap31 = jnp.asarray(2**31 - 1, it)
+    meta = jnp.stack([seed_arena_over.astype(i32),
+                      jnp.minimum(total, cap31).astype(i32),
+                      seed_cnt.max(), jnp.zeros((), i32),
+                      jnp.zeros((), i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32), jnp.zeros((), i32)])
+    return seeds, seed_cnt, l_rep, meta
+
+
+# ---------------------------------------------------------------------------
+# CHAIN: lockstep chaining + weights + windows + compact arenas
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "w", "max_chain_gap", "chain_cap", "a_ch", "a_it", "min_chain_weight",
+    "o_del", "e_del", "o_ins", "e_ins", "a"))
+def _chain_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *, w,
+               max_chain_gap, chain_cap, a_ch, a_it, min_chain_weight,
+               a, o_del, e_del, o_ins, e_ins):
+    i32 = jnp.int32
+    it = seeds.rbeg.dtype
+    N, S = seeds.qbeg.shape
+    C = chain_cap
+    ch = chainops.chain_seeds(seeds, ctg_is_alt, fm.l_pac, w=w,
+                              max_chain_gap=max_chain_gap, chain_cap=C)
+    wt = chainops.chain_weights(seeds, ch)
+    rmax0, rmax1 = align_ext.chain_rmax(
+        seeds, ch, l_seq, fm, ctg_offsets,
+        a=a, o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins, w=w)
+    # compact per-chain arena in (read-major, creation order) — the host
+    # replays mem_chain_flt's exact B-tree traversal + introsort from it
+    rows_c = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, C))
+    slots_c = jnp.broadcast_to(jnp.arange(C, dtype=i32)[None, :], (N, C))
+    cmask = (slots_c < ch.n[:, None]).reshape(-1)
+    beg = ch.first_qbeg
+    end = ch.last_qbeg + ch.last_len
+    pk_rid_alt = (ch.rid.astype(i32) << 1) | ch.is_alt.astype(i32)
+    (c_read, c_w, c_beg, c_end, c_ra), n_ch, ch_arena_over, _ = \
+        _compact_flat(cmask, [(rows_c, i32), (wt, i32), (beg, i32),
+                              (end, i32), (pk_rid_alt, i32)], a_ch)
+    (c_pos,), _, _, _ = _compact_flat(cmask, [(ch.pos, it)], a_ch)
+    chain32 = jnp.stack([c_read, c_w, c_beg, c_end, c_ra])
+
+    # ---- work items: every valid seed of every heavy chain ----
+    sc = ch.seed_chain
+    scc = jnp.clip(sc, 0, C - 1)
+    heavy = jnp.take_along_axis(wt, scc, axis=1) >= min_chain_weight
+    imask = (sc >= 0) & heavy & seeds.valid
+    rows_s = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, S))
+    slots_s = jnp.broadcast_to(jnp.arange(S, dtype=i32)[None, :], (N, S))
+    i_rmax0 = jnp.take_along_axis(rmax0, scc, axis=1)
+    i_rmax1 = jnp.take_along_axis(rmax1, scc, axis=1)
+    (i_read, i_slot, i_chain, i_qbeg, i_len), n_it, it_over, _ = \
+        _compact_flat(imask.reshape(-1),
+                      [(rows_s, i32), (slots_s, i32), (sc, i32),
+                       (seeds.qbeg, i32), (seeds.len, i32)], a_it)
+    (i_rbeg, i_r0, i_r1), _, _, _ = _compact_flat(
+        imask.reshape(-1), [(seeds.rbeg, it), (i_rmax0, it), (i_rmax1, it)],
+        a_it)
+    meta = jnp.stack([ch.overflow.any().astype(i32),
+                      ch_arena_over.astype(i32), it_over.astype(i32),
+                      n_ch.astype(i32), n_it.astype(i32),
+                      ch.n.max().astype(i32), jnp.zeros((), i32),
+                      jnp.zeros((), i32)])
+    items32 = jnp.stack([i_read, i_slot, i_chain, i_qbeg, i_len])
+    items_it = jnp.stack([i_rbeg, i_r0, i_r1])
+    return ch.seed_chain, items32, items_it, chain32, c_pos, meta
+
+
+# ---------------------------------------------------------------------------
+# EXT: speculative fused extension of all work items + seedcov
+# ---------------------------------------------------------------------------
+
+def _qt_blocks(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
+               t_start, t_sign, tlen, *, lq_max, t_max):
+    """[LQ, B] query and [LT, B] target nt4 blocks from the device-resident
+    read batch + packed reference (extend_host._qt_blocks_dev)."""
+    i32 = jnp.int32
+    L = seqbatch.shape[1]
+    j = jnp.arange(lq_max, dtype=jnp.int64)[:, None]
+    qidx = q_start[None, :].astype(jnp.int64) + \
+        q_sign[None, :].astype(jnp.int64) * j
+    qT = jnp.where(
+        j < qlen[None, :],
+        seqbatch[lane_read[None, :],
+                 jnp.clip(qidx, 0, L - 1).astype(i32)].astype(i32),
+        4)
+    ti = jnp.arange(t_max, dtype=jnp.int64)[:, None]
+    pos = jnp.clip(t_start[None, :].astype(jnp.int64)
+                   + t_sign[None, :].astype(jnp.int64) * ti,
+                   0, 2 * l_pac - 1)
+    is_rev = pos >= l_pac
+    fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
+    word = pac[(fpos >> 4).astype(i32)]
+    byte = (word >> (((fpos.astype(i32) & 15) >> 2) << 3).astype(
+        jnp.uint32)) & 0xFF
+    b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
+        jnp.uint32))) & 3
+    b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
+    return qT, jnp.where(ti < tlen[None, :], b, 4).astype(i32)
+
+
+def _ext_kernel(qT, qlen, tT, tlen, h0, eb, *, w_opt, lq_max, t_max, use_pl,
+                interpret, **kw):
+    if use_pl:
+        from bwamem_tpu.ops import pallas_ext
+        return pallas_ext.extend_batch_pl2(
+            qT, qlen, tT, tlen, h0, eb, lq_max=lq_max, t_max=t_max,
+            w_opt=w_opt, interpret=interpret, **kw)
+    # XLA fallback (CPU tests / non-Mosaic backends): ops/extend.extend_batch
+    # + the two-pass band-doubling retry of bwamem.c:732-741
+    from bwamem_tpu.ops import extend as extops
+    i32 = jnp.int32
+    B = qlen.shape[0]
+    mat = np.frombuffer(kw["mat_bytes"], np.int8).reshape(5, 5)
+    query = qT.T.astype(jnp.uint8)
+
+    def target_at(i):
+        return jax.lax.dynamic_index_in_dim(
+            tT, jnp.minimum(i, t_max - 1), axis=0, keepdims=False)
+
+    kw2 = dict(mat=mat, o_del=kw["o_del"], e_del=kw["e_del"],
+               o_ins=kw["o_ins"], e_ins=kw["e_ins"], zdrop=kw["zdrop"],
+               t_max=t_max)
+    w1 = jnp.full((B,), w_opt, i32)
+    r1 = extops.extend_batch(query, qlen, target_at, tlen, h0, w1, eb, **kw2)
+    retry = ((r1.max_off >= ((w_opt >> 1) + (w_opt >> 2)))
+             & (r1.score != h0) & (qlen > 0))
+    w2 = jnp.where(retry, w_opt * 2, w_opt).astype(i32)
+    r2 = extops.extend_batch(query, qlen, target_at, tlen, h0, w2, eb, **kw2)
+    res = jax.tree.map(lambda b_, a_: jnp.where(retry, b_, a_), r2, r1)
+    return res, retry.astype(i32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lq_max", "t_max", "mat_bytes", "o_del", "e_del", "o_ins", "e_ins",
+    "zdrop", "w_opt", "a", "pen_clip5", "pen_clip3", "interpret", "use_pl"))
+def _ext_jit(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
+             seeds_rbeg, items32, items_it, *, lq_max, t_max, mat_bytes,
+             o_del, e_del, o_ins, e_ins, zdrop, w_opt, a, pen_clip5,
+             pen_clip3, interpret=False, use_pl=True):
+    """Fused left+right extension for the flat work items + per-item seedcov
+    (mem_chain2aln extension body, bwamem.c:717-786).  Returns one stacked
+    i32 block [11, A] and one index-typed block [3, A]."""
+    i_read, i_slot, i_chain, i_qbeg, i_len = (items32[k] for k in range(5))
+    i_rbeg, i_r0, i_r1 = (items_it[k] for k in range(3))
+    i32 = jnp.int32
+    it = seeds_rbeg.dtype
+    B = i_read.shape[0]
+    kw = dict(mat_bytes=mat_bytes, o_del=o_del, e_del=e_del, o_ins=o_ins,
+              e_ins=e_ins, zdrop=zdrop)
+    kker = dict(w_opt=w_opt, lq_max=lq_max, t_max=t_max, use_pl=use_pl,
+                interpret=interpret, **kw)
+    neg1 = jnp.full((B,), -1, i32)
+    pos1 = jnp.ones((B,), i32)
+    l_seq_i = l_seq[jnp.clip(i_read, 0, l_seq.shape[0] - 1)].astype(i32)
+
+    # ---- left: reversed prefix vs [rmax0, rbeg) reversed ----
+    qlen_l = i_qbeg.astype(i32)
+    tlen_l = jnp.where(i_qbeg > 0, i_rbeg - i_r0, 0).astype(i32)
+    h0_l = jnp.maximum(i_len * a, 1).astype(i32)
+    qT, tT = _qt_blocks(fm.pac, fm.l_pac, seq, i_read, i_qbeg - 1, neg1,
+                        qlen_l, i_rbeg - 1, neg1, tlen_l,
+                        lq_max=lq_max, t_max=t_max)
+    eb5 = jnp.full((B,), pen_clip5, i32)
+    L, retL = _ext_kernel(qT, qlen_l, tT, tlen_l, h0_l, eb5, **kker)
+    score_l = jnp.where(qlen_l > 0, L.score, (i_len * a).astype(i32))
+    sc0 = jnp.maximum(score_l, 1)
+
+    # ---- right: suffix vs [rbeg + len, rmax1) ----
+    s_qe = i_qbeg + i_len
+    qlen_r = (l_seq_i - s_qe).astype(i32)
+    tlen_r = jnp.where(s_qe < l_seq_i,
+                       (i_r1 - (i_rbeg + i_len)).astype(i32), 0)
+    qT, tT = _qt_blocks(fm.pac, fm.l_pac, seq, i_read, s_qe, pos1,
+                        qlen_r, i_rbeg + i_len, pos1, tlen_r,
+                        lq_max=lq_max, t_max=t_max)
+    eb3 = jnp.full((B,), pen_clip3, i32)
+    R, retR = _ext_kernel(qT, qlen_r, tT, tlen_r, sc0, eb3, **kker)
+
+    # ---- endpoint selection (bwamem.c:744-779) ----
+    has_left = qlen_l > 0
+    loc_l = (L.gscore <= 0) | (L.gscore <= L.score - pen_clip5)
+    n_qb = jnp.where(has_left & loc_l, i_qbeg - L.qle, 0)
+    n_rb = jnp.where(has_left,
+                     jnp.where(loc_l, i_rbeg - L.tle, i_rbeg - L.gtle),
+                     i_rbeg)
+    truesc_l = jnp.where(has_left,
+                         jnp.where(loc_l, L.score, L.gscore),
+                         (i_len * a).astype(i32))
+    has_right = s_qe < l_seq_i
+    loc_r = (R.gscore <= 0) | (R.gscore <= R.score - pen_clip3)
+    score_f = jnp.where(has_right, R.score, score_l)
+    n_qe = jnp.where(has_right & loc_r, s_qe + R.qle, l_seq_i)
+    n_re = jnp.where(has_right,
+                     jnp.where(loc_r, i_rbeg + i_len + R.tle,
+                               i_rbeg + i_len + R.gtle),
+                     i_rbeg + i_len)
+    truesc_f = truesc_l + jnp.where(
+        has_right, jnp.where(loc_r, R.score - sc0, R.gscore - sc0), 0)
+    aw0 = jnp.where(has_left & (retL != 0), w_opt * 2, w_opt)
+    aw1 = jnp.where(has_right & (retR != 0), w_opt * 2, w_opt)
+    n_w = jnp.maximum(aw0, aw1).astype(i32)
+
+    # ---- seedcov (bwamem.c:781-786) ----
+    rr = jnp.clip(i_read, 0, seeds_qbeg.shape[0] - 1)
+    sd_qb = seeds_qbeg[rr]                        # [B, S]
+    sd_len = seeds_len[rr]
+    sd_rb = seeds_rbeg[rr]
+    in_ch = seeds_valid[rr] & (seed_chain[rr] == i_chain[:, None])
+    cov = (in_ch & (sd_qb >= n_qb[:, None])
+           & (sd_qb + sd_len <= n_qe[:, None])
+           & (sd_rb >= n_rb[:, None].astype(it))
+           & (sd_rb + sd_len <= n_re[:, None].astype(it)))
+    seedcov = jnp.where(cov, sd_len, 0).sum(axis=1, dtype=i32)
+
+    out32 = jnp.stack([i_read, i_slot, i_chain, i_qbeg, i_len,
+                       n_qb.astype(i32), n_qe.astype(i32), score_f,
+                       truesc_f, n_w, seedcov])
+    out_it = jnp.stack([i_rbeg, n_rb.astype(it), n_re.astype(it)])
+    return out32, out_it
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+_GROW1 = ("cap", "kmax", "emax")
+_GROW2 = ("pmax", "cand2", "k2max", "e2max")  # bits 3..6 of p2 flags
+_GROW3 = ("p3cap", "e3max")                   # bits 7..8 of p3 flags
+
+
+def _sizes_for(al, N: int, Lr: int):
+    """Arena sizes from the per-aligner high-water history (25% headroom),
+    falling back to shape-scaled defaults on the first batch."""
+    hist = getattr(al, "_front_hist", None)
+    if hist is None:
+        hist = al._front_hist = {}
+    defaults = {
+        "cap": 2 * Lr,
+        "kmax": _bucket(N * 16, lo=1024),
+        "emax": _bucket(N * 8, lo=1024),
+        "pmax": _bucket(N * 2, lo=256),
+        "cand2": 48,
+        "k2max": _bucket(N * 8, lo=1024),
+        "e2max": _bucket(N * 4, lo=1024),
+        "p3cap": 32,
+        "e3max": _bucket(N * 2, lo=1024),
+        "a_seed": _bucket(N * 8, lo=1024),
+        "s_cap": 64,
+        "a_ch": _bucket(N * 4, lo=1024),
+        "a_it": _bucket(N * 8, lo=1024),
+    }
+    floors = {"cap": 64, "kmax": 1024, "emax": 1024, "pmax": 256,
+              "cand2": 16, "k2max": 1024, "e2max": 1024, "p3cap": 16,
+              "e3max": 1024, "a_seed": 1024, "s_cap": 16, "a_ch": 1024,
+              "a_it": 1024}
+    sizes = {}
+    for k, d in defaults.items():
+        h = hist.get(("hwm", k, N))
+        sizes[k] = _bucket(int(h + (h >> 2) + 1), lo=floors[k]) \
+            if h is not None else d
+    return hist, sizes
+
+
+def _note_hwm(hist, N, **vals):
+    for k, v in vals.items():
+        key = ("hwm", k, N)
+        hist[key] = max(hist.get(key, 0), int(v))
+
+
+def gate_rows(opt: MemOptions, reads) -> set:
+    """Rows entering mem_flt_chained_seeds (bwamem.c:607-611) — long reads
+    whose seed re-scoring mutates the work order; they keep the host path."""
+    rows = set()
+    for i, r in enumerate(reads):
+        L = r.l_seq
+        if L <= 0:
+            continue
+        min_l = (chainflt_host.MEM_HSP_COEF * opt.min_chain_weight
+                 if opt.min_chain_weight
+                 else chainflt_host.MEM_MINSC_COEF * math.log(L))
+        if min_l <= chainflt_host.MEM_SEEDSW_COEF * L:
+            rows.add(i)
+    return rows
+
+
+def supported(al, reads) -> bool:
+    """Whether this batch can take the device front (the host-compacted
+    path remains for meshes and pathological score ranges)."""
+    if getattr(al, "mesh", None) is not None:
+        return False
+    mat_max = int(np.max(np.asarray(al.opt.mat)))
+    Lr = max((r.l_seq for r in reads), default=0)
+    # the (h<<12)|col packing of both extension kernels needs every
+    # reachable score < 2^18 (extend_host enforces the same bound)
+    return 2 * Lr * max(al.opt.a, mat_max) < (1 << 18)
+
+
+def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
+    """Device front half + host exact-filter replay.
+
+    Returns (regs_out, fallback_rows): per-read AlnReg lists in
+    mem_chain2aln emission order (pre-dedup) for every read NOT in
+    fallback_rows; fallback rows (cap overflows, long reads entering
+    mem_flt_chained_seeds) must be re-run through the host-compacted path.
+    """
+    opt: MemOptions = al.opt
+    n = len(reads)
+    N, Lr = seq.shape
+    hist, sizes = _sizes_for(al, N, Lr)
+    use_kmer = (al.fm.kmer is not None
+                and getattr(opt, "use_kmer_table", True)
+                and opt.min_seed_len >= smemops.KMER_K)
+
+    # long reads that enter mem_flt_chained_seeds (bwamem.c:607-611) keep
+    # the host path: seed re-scoring mutates the work order
+    fallback = gate_rows(opt, reads)
+    if len(fallback) * 2 >= max(n, 1):
+        # mostly long-read batch: dispatching the device front first would
+        # just burn device time (and giant-shape compiles) on rows that all
+        # fall back anyway
+        return [[] for _ in range(n)], sorted(range(n))
+
+    seq_dev = jnp.asarray(seq)
+    l_dev = jnp.asarray(l_seq)
+    timers.add_bytes("h2d.front_seq", seq.nbytes)
+
+    while True:
+        with timers.section("front.dispatch"):
+            meta_all, out32, out_it, chain32, c_pos, scl = _dispatch(
+                al, seq_dev, l_dev, sizes, use_kmer, N, Lr)
+        with timers.section("front.fetch"):
+            for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
+            meta_all = np.asarray(meta_all)
+            m1, m2, m3, m4, m5 = (meta_all[8 * k: 8 * k + 8]
+                                  for k in range(5))
+            grow = []
+            flags = int(m1[1]) | int(m2[1]) | int(m3[1])
+            for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3):
+                if (flags >> bit) & 1:
+                    grow.append(name)
+            if m4[0]:
+                grow.append("a_seed")
+            if m5[1]:
+                grow.append("a_ch")
+            if m5[2]:
+                grow.append("a_it")
+            if grow:
+                for g in grow:
+                    sizes[g] *= 2
+                continue
+            out32 = np.asarray(out32)
+            out_it = np.asarray(out_it)
+            chain32 = np.asarray(chain32)
+            c_pos = np.asarray(c_pos)
+            scl = np.asarray(scl)
+            timers.add_bytes("d2h.front",
+                             out32.nbytes + out_it.nbytes + chain32.nbytes
+                             + c_pos.nbytes + scl.nbytes + meta_all.nbytes)
+        break
+
+    _note_hwm(hist, N, cap=m1[2], kmax=m1[3], emax=m1[4],
+              pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
+              p3cap=m3[2], e3max=m3[3],
+              a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4])
+    if m5[0]:
+        raise RuntimeError("chain table overflow with chain_cap == seed cap")
+
+    n_ch, n_it = int(m5[3]), int(m5[4])
+    seed_cnt = scl[:N].astype(np.int64)
+    l_rep = scl[N: 2 * N]
+    I32 = out32[:, :n_it]
+    IIT = out_it[:, :n_it]
+    CH32 = chain32[:, :n_ch]
+    CHPOS = c_pos[:n_ch]
+
+    for i in np.nonzero(seed_cnt[:n] > sizes["s_cap"])[0]:
+        fallback.add(int(i))
+
+    regs_out = _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback)
+    return regs_out, sorted(fallback)
+
+
+def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
+    """Enqueue the device program chain; returns device arrays (no fetch)."""
+    opt: MemOptions = al.opt
+    s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
+              min_seed_len=opt.min_seed_len, use_kmer=use_kmer)
+    s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
+              k2max=sizes["k2max"], e2max=sizes["e2max"],
+              min_seed_len=opt.min_seed_len, split_len=opt.split_len,
+              split_width=opt.split_width)
+    s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
+              min_seed_len=opt.min_seed_len,
+              max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer)
+    s4 = dict(max_occ=opt.max_occ, a_seed=sizes["a_seed"],
+              s_cap=sizes["s_cap"], n_reads=N)
+    s5 = dict(w=opt.w, max_chain_gap=opt.max_chain_gap,
+              chain_cap=sizes["s_cap"], a_ch=sizes["a_ch"],
+              a_it=sizes["a_it"], min_chain_weight=opt.min_chain_weight,
+              a=opt.a, o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+              e_ins=opt.e_ins)
+    s6 = dict(lq_max=Lr, t_max=_bucket(Lr + 4 * opt.w + 4, lo=128),
+              mat_bytes=np.asarray(opt.mat, np.int8).tobytes(),
+              o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+              e_ins=opt.e_ins, zdrop=opt.zdrop, w_opt=opt.w, a=opt.a,
+              pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+              use_pl=not _shapes._is_cpu())
+
+    sec1, m1 = _p1_jit(al.fm, seq_dev, l_dev, **s1)
+    sec2, m2 = _p2_jit(al.fm, seq_dev, l_dev, sec1, m1[0], **s2)
+    sec3, m3 = _p3_jit(al.fm, seq_dev, l_dev, **s3)
+    seeds, seed_cnt, l_rep, m4 = _expand_jit(
+        al.fm, al.ctg_offsets, sec1, m1[0], sec2, m2[0], sec3, m3[0], **s4)
+    seed_chain, items32, items_it, chain32, c_pos, m5 = _chain_jit(
+        al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev, **s5)
+    out32, out_it = _ext_jit(al.fm, seq_dev, l_dev, seed_chain, seeds.valid,
+                             seeds.qbeg, seeds.len, seeds.rbeg, items32,
+                             items_it, **s6)
+    it = np.asarray(al.fm.L2).dtype
+    meta_all = jnp.concatenate([m1, m2, m3, m4, m5])
+    scl = jnp.concatenate([seed_cnt.astype(it), l_rep])
+    return meta_all, out32, out_it, chain32, c_pos, scl
+
+
+def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
+    """Exact mem_chain_flt + mem_chain2aln skip/accept replay
+    (bwamem.c:334-392, 674-793) over the fetched arenas."""
+    opt: MemOptions = al.opt
+    from bwamem_tpu.pipeline.extend_host import cal_max_gap
+
+    (i_read, i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe, score, truesc,
+     n_w, seedcov) = (I32[k] for k in range(11))
+    i_rbeg, n_rb, n_re = IIT[0], IIT[1], IIT[2]
+    c_read, c_w, c_beg, c_end, c_ra = (CH32[k] for k in range(5))
+    c_pos = CHPOS
+    c_rid = c_ra >> 1
+    c_alt = (c_ra & 1).astype(bool)
+
+    # group by read (arenas are read-major)
+    ch_base = np.searchsorted(c_read, np.arange(n + 1))
+    it_base = np.searchsorted(i_read, np.arange(n + 1))
+
+    regs_out: list[list[AlnReg]] = [[] for _ in range(n)]
+    statics = dict(mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
+                   min_seed_len=opt.min_seed_len,
+                   max_chain_gap=opt.max_chain_gap,
+                   min_chain_weight=opt.min_chain_weight,
+                   max_chain_extend=opt.max_chain_extend)
+    _t = timers.section("front.replay")
+    _t.__enter__()
+    for i in range(n):
+        if i in fallback:
+            continue
+        cb, ce = int(ch_base[i]), int(ch_base[i + 1])
+        nch = ce - cb
+        if nch == 0:
+            continue
+        pos_i = c_pos[cb:ce]
+        trav = sorted(range(nch), key=lambda c: (int(pos_i[c]), c))
+        kept_ids = chainflt_host.chain_flt_exact(
+            trav, c_w[cb:ce], c_beg[cb:ce], c_end[cb:ce], c_alt[cb:ce],
+            **statics)
+        if not kept_ids:
+            continue
+        ib, ie = int(it_base[i]), int(it_base[i + 1])
+        # per-chain item lists in slot-asc (insertion) order
+        by_chain: dict[int, list[int]] = {}
+        for m in range(ib, ie):
+            by_chain.setdefault(int(i_chain[m]), []).append(m)
+        # work order: kept chains in sorted order; within a chain seeds by
+        # (len desc, insertion idx desc) — the DESC walk of srt
+        # (bwamem.c:669-676)
+        work: list[int] = []
+        wchain: list[int] = []
+        for c in kept_ids:
+            ms = by_chain.get(c, [])
+            order = sorted(range(len(ms)),
+                           key=lambda k: (int(i_len[ms[k]]), k),
+                           reverse=True)
+            for k in order:
+                work.append(ms[k])
+                wchain.append(c)
+        lq = reads[i].l_seq
+        frac_rep = float(l_rep[i]) / max(lq, 1)
+        cnum = len(work)
+        marks = [True] * cnum
+        chain_items: dict[int, list[int]] = {}
+        for k in range(cnum):
+            chain_items.setdefault(wchain[k], []).append(k)
+        regs = regs_out[i]
+        for k in range(cnum):
+            m = work[k]
+            srb, sqb, slen = int(i_rbeg[m]), int(i_qbeg[m]), int(i_len[m])
+            hit = -1
+            for p in regs:
+                if srb < p.rb or srb + slen > p.re or sqb < p.qb or \
+                        sqb + slen > p.qe:
+                    continue
+                if slen - p.seedlen0 > .1 * lq:
+                    continue
+                qd, rd = sqb - p.qb, srb - p.rb
+                w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+                if qd - rd < w and rd - qd < w:
+                    hit = 1
+                    break
+                qd, rd = p.qe - (sqb + slen), p.re - (srb + slen)
+                w = min(cal_max_gap(opt, min(qd, rd)), p.w)
+                if qd - rd < w and rd - qd < w:
+                    hit = 1
+                    break
+            if hit >= 0:
+                # overlapping-seed exception (bwamem.c:699-711)
+                mates = chain_items[wchain[k]]
+                pos = mates.index(k)
+                differs = False
+                for k2 in mates[:pos][::-1]:
+                    if not marks[k2]:
+                        continue
+                    m2 = work[k2]
+                    tq, tr, tl_ = int(i_qbeg[m2]), int(i_rbeg[m2]), \
+                        int(i_len[m2])
+                    if tl_ < slen * .95:
+                        continue
+                    if sqb <= tq and sqb + slen - tq >= slen >> 2 and \
+                            tq - sqb != tr - srb:
+                        differs = True
+                        break
+                    if tq <= sqb and tq + tl_ - sqb >= slen >> 2 and \
+                            sqb - tq != srb - tr:
+                        differs = True
+                        break
+                if not differs:
+                    marks[k] = False
+                    continue
+            r = AlnReg()
+            r.rid = int(c_rid[cb + wchain[k]])
+            r.qb, r.rb = int(n_qb[m]), int(n_rb[m])
+            r.qe, r.re = int(n_qe[m]), int(n_re[m])
+            r.score = int(score[m])
+            r.truesc = int(truesc[m])
+            r.w = int(n_w[m])
+            r.seedlen0 = slen
+            r.frac_rep = frac_rep
+            r.seedcov = int(seedcov[m])
+            regs.append(r)
+    _t.__exit__(None, None, None)
+    return regs_out

@@ -33,7 +33,11 @@ def test_load_reference_format_roundtrip(built):
     np.testing.assert_array_equal(loaded.L2, idx.L2)
     np.testing.assert_array_equal(loaded.bwt_words, idx.bwt_words)
     np.testing.assert_array_equal(loaded.occ, idx.occ)
-    np.testing.assert_array_equal(loaded.sa_samples, idx.sa_samples)
+    # the FILE is always stride-32 (reference parity); our runtime samples
+    # may be denser (build.runtime_sa_interval)
+    assert loaded.sa_intv == 32
+    np.testing.assert_array_equal(
+        loaded.sa_samples, idx.sa_samples[:: 32 // idx.sa_intv])
     np.testing.assert_array_equal(loaded.pac, idx.pac)
     assert [c.name for c in loaded.contigs] == [c.name for c in idx.contigs]
 
