@@ -838,6 +838,67 @@ def cmd_sampe(argv: list[str]) -> int:
     return 0
 
 
+def cmd_index_micro(cmd: str, argv: list[str]) -> int:
+    """Low-level index steps (reference main.c:105-109): fa2pac, pac2bwt,
+    pac2bwtgen, bwtupdate, bwt2sa — file-identical to the reference."""
+    from bwamem_tpu.index import microcmd
+    args = list(argv)
+    if cmd == "fa2pac":
+        for_only = "-f" in args
+        args = [a for a in args if a != "-f"]
+        if not args:
+            sys.stderr.write(
+                "Usage: bwamem_tpu fa2pac [-f] <in.fasta> [<out.prefix>]\n")
+            return 1
+        microcmd.fa2pac(args[0], args[1] if len(args) > 1 else args[0],
+                        for_only=for_only)
+        return 0
+    if cmd in ("pac2bwt", "pac2bwtgen"):
+        # -d (ropebwt) / -b (block size) select reference-internal
+        # construction algorithms; the BWT is unique, we always use SA-IS
+        flt = []
+        skip = False
+        for a in args:
+            if skip:
+                skip = False
+                continue
+            if a == "-d":
+                continue
+            if a == "-b":
+                skip = True
+                continue
+            flt.append(a)
+        if len(flt) < 2:
+            sys.stderr.write(
+                f"Usage: bwamem_tpu {cmd} [-d] <in.pac> <out.bwt>\n")
+            return 1
+        microcmd.pac2bwt(flt[0], flt[1])
+        return 0
+    if cmd == "bwtupdate":
+        if len(args) != 1:
+            sys.stderr.write("Usage: bwamem_tpu bwtupdate <the.bwt>\n")
+            return 1
+        microcmd.bwtupdate(args[0])
+        return 0
+    # bwt2sa
+    sa_intv = 32
+    flt = []
+    i = 0
+    while i < len(args):
+        if args[i] == "-i":
+            sa_intv = int(args[i + 1])
+            i += 2
+            continue
+        flt.append(args[i])
+        i += 1
+    if len(flt) < 2:
+        sys.stderr.write(
+            "Usage: bwamem_tpu bwt2sa [-i 32] <in.bwt> <out.sa>\n")
+        return 1
+    microcmd.bwt2sa(flt[0], flt[1], sa_intv)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
@@ -866,6 +927,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_samse(rest)
     if cmd == "sampe":
         return cmd_sampe(rest)
+    if cmd in ("fa2pac", "pac2bwt", "pac2bwtgen", "bwtupdate", "bwt2sa"):
+        return cmd_index_micro(cmd, rest)
     sys.stderr.write(f"[E::main] unknown command '{cmd}'\n")
     return 1
 

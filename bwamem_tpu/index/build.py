@@ -211,6 +211,13 @@ def pack_bwt_words(bwt: np.ndarray) -> np.ndarray:
     return (c << shifts).sum(axis=1, dtype=np.uint32)
 
 
+def unpack_bwt_words(words: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of pack_bwt_words: uint32 words → n BWT codes."""
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    c = (words[:, None] >> shifts[None, :]) & 3
+    return c.reshape(-1)[:n].astype(np.uint8)
+
+
 def occ_checkpoints(bwt: np.ndarray) -> np.ndarray:
     """[n_blocks+1, 4] cumulative counts of each base before every
     OCC_INTERVAL-base block (de-interleaved bwt_bwtupdate_core,

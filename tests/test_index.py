@@ -102,3 +102,20 @@ def test_sais_matches_prefix_doubling():
         ti = list(map(int, t[i:])) + [-1]
         tj = list(map(int, t[j:])) + [-1]
         assert ti < tj
+
+
+def test_index_micro_commands(tiny_dataset, tmp_path):
+    """fa2pac → pac2bwt → bwtupdate → fa2pac -f → bwt2sa composes to the
+    exact `bwa index` file family (bwa_idx_build, bwtindex.c:255-323) —
+    validating each micro-command (main.c:105-109) byte-for-byte."""
+    from bwamem_tpu.cli import main as cli_main
+    p = str(tmp_path / "mc")
+    fa = tiny_dataset["fa"]
+    assert cli_main(["fa2pac", fa, p]) == 0
+    assert cli_main(["pac2bwt", p + ".pac", p + ".bwt"]) == 0
+    assert cli_main(["bwtupdate", p + ".bwt"]) == 0
+    assert cli_main(["fa2pac", "-f", fa, p]) == 0
+    assert cli_main(["bwt2sa", "-i", "32", p + ".bwt", p + ".sa"]) == 0
+    for ext in (".pac", ".ann", ".amb", ".bwt", ".sa"):
+        assert filecmp.cmp(p + ext, tiny_dataset["prefix"] + ext,
+                           shallow=False), ext
