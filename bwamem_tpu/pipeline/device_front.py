@@ -351,10 +351,17 @@ def _chain_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *, w,
     (i_rbeg, i_r0, i_r1), _, _, _ = _compact_flat(
         imask.reshape(-1), [(seeds.rbeg, it), (i_rmax0, it), (i_rmax1, it)],
         a_it)
+    # largest extension window over the items: sizes the NEXT batch's
+    # static t_max (host checks the CURRENT batch didn't exceed it)
+    tl = jnp.where(imask & (seeds.qbeg > 0), seeds.rbeg - i_rmax0, 0)
+    qe = seeds.qbeg + seeds.len
+    tr = jnp.where(imask & (qe < l_seq[:, None]),
+                   i_rmax1 - (seeds.rbeg + seeds.len), 0)
+    t_span = jnp.maximum(tl.max(), tr.max()).astype(i32)
     meta = jnp.stack([ch.overflow.any().astype(i32),
                       ch_arena_over.astype(i32), it_over.astype(i32),
                       n_ch.astype(i32), n_it.astype(i32),
-                      ch.n.max().astype(i32), jnp.zeros((), i32),
+                      ch.n.max().astype(i32), t_span,
                       jnp.zeros((), i32)])
     items32 = jnp.stack([i_read, i_slot, i_chain, i_qbeg, i_len])
     items_it = jnp.stack([i_rbeg, i_r0, i_r1])
@@ -368,30 +375,34 @@ def _chain_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *, w,
 def _qt_blocks(pac, l_pac, seqbatch, lane_read, q_start, q_sign, qlen,
                t_start, t_sign, tlen, *, lq_max, t_max):
     """[LQ, B] query and [LT, B] target nt4 blocks from the device-resident
-    read batch + packed reference (extend_host._qt_blocks_dev)."""
+    read batch + packed reference (extend_host._qt_blocks_dev semantics).
+
+    Layout: everything is computed LANE-MAJOR ([B, L*]) then transposed —
+    each lane's positions are consecutive, so the seq/pac gathers hit
+    contiguous memory per row (the [L*, B] formulation made every adjacent
+    gathered element a different read/ref location).  Index arithmetic runs
+    in the index dtype (i32 for sub-2^31 genomes) — this backend emulates
+    int64 vector ops as i32 pairs."""
     i32 = jnp.int32
+    it = t_start.dtype
     L = seqbatch.shape[1]
-    j = jnp.arange(lq_max, dtype=jnp.int64)[:, None]
-    qidx = q_start[None, :].astype(jnp.int64) + \
-        q_sign[None, :].astype(jnp.int64) * j
-    qT = jnp.where(
-        j < qlen[None, :],
-        seqbatch[lane_read[None, :],
-                 jnp.clip(qidx, 0, L - 1).astype(i32)].astype(i32),
-        4)
-    ti = jnp.arange(t_max, dtype=jnp.int64)[:, None]
-    pos = jnp.clip(t_start[None, :].astype(jnp.int64)
-                   + t_sign[None, :].astype(jnp.int64) * ti,
+    j = jnp.arange(lq_max, dtype=i32)[None, :]
+    qidx = q_start.astype(i32)[:, None] + q_sign[:, None] * j
+    q = jnp.take_along_axis(
+        seqbatch[lane_read].astype(i32), jnp.clip(qidx, 0, L - 1), axis=1)
+    q = jnp.where(j < qlen[:, None], q, 4)
+    ti = jnp.arange(t_max, dtype=it)[None, :]
+    pos = jnp.clip(t_start[:, None] + t_sign[:, None].astype(it) * ti,
                    0, 2 * l_pac - 1)
     is_rev = pos >= l_pac
     fpos = jnp.where(is_rev, 2 * l_pac - 1 - pos, pos)
     word = pac[(fpos >> 4).astype(i32)]
-    byte = (word >> (((fpos.astype(i32) & 15) >> 2) << 3).astype(
-        jnp.uint32)) & 0xFF
-    b = (byte >> (((3 - (fpos.astype(i32) & 3)) << 1).astype(
-        jnp.uint32))) & 3
+    fp32 = fpos.astype(i32)
+    byte = (word >> (((fp32 & 15) >> 2) << 3).astype(jnp.uint32)) & 0xFF
+    b = (byte >> (((3 - (fp32 & 3)) << 1).astype(jnp.uint32))) & 3
     b = jnp.where(is_rev, 3 - b.astype(i32), b.astype(i32))
-    return qT, jnp.where(ti < tlen[None, :], b, 4).astype(i32)
+    t = jnp.where(ti < tlen[:, None], b, 4)
+    return q.T, t.T
 
 
 def _ext_kernel(qT, qlen, tT, tlen, h0, eb, *, w_opt, lq_max, t_max, use_pl,
@@ -620,6 +631,18 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     l_dev = jnp.asarray(l_seq)
     timers.add_bytes("h2d.front_seq", seq.nbytes)
 
+    # extension-window rows: hwm-sized (the device reports each batch's true
+    # max span, m5[6]); the first batch uses the conservative chain-span
+    # bound L + w + 2*cal_max_gap_bound (bwamem.c:648-666 windows over
+    # test_and_merge-compatible seeds, |x-y| <= w)
+    h_ts = hist.get(("hwm", "t_span", N))
+    gmax = min(max((Lr * opt.a - min(opt.o_del, opt.o_ins))
+                   // min(opt.e_del, opt.e_ins) + 1, 1), 2 * opt.w)
+    bound = Lr + opt.w + 2 * gmax + 8
+    sizes["t_span"] = _bucket(min(int(h_ts + (h_ts >> 3) + 1), bound),
+                              lo=128) if h_ts is not None \
+        else _bucket(bound, lo=128)
+
     while True:
         with timers.section("front.dispatch"):
             meta_all, out32, out_it, chain32, c_pos, scl = _dispatch(
@@ -644,9 +667,16 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                 grow.append("a_ch")
             if m5[2]:
                 grow.append("a_it")
+            if int(m5[6]) > sizes["t_span"]:
+                # an extension window exceeded the hwm-sized t_max: results
+                # would be silently truncated — grow and rerun
+                sizes["t_span"] = _bucket(int(m5[6]), lo=128)
+                _note_hwm(hist, N, t_span=m5[6])
+                grow.append(None)
             if grow:
                 for g in grow:
-                    sizes[g] *= 2
+                    if g is not None:
+                        sizes[g] *= 2
                 continue
             out32 = np.asarray(out32)
             out_it = np.asarray(out_it)
@@ -661,7 +691,8 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     _note_hwm(hist, N, cap=m1[2], kmax=m1[3], emax=m1[4],
               pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
               p3cap=m3[2], e3max=m3[3],
-              a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4])
+              a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
+              t_span=m5[6])
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
 
@@ -699,7 +730,7 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
               a_it=sizes["a_it"], min_chain_weight=opt.min_chain_weight,
               a=opt.a, o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
               e_ins=opt.e_ins)
-    s6 = dict(lq_max=Lr, t_max=_bucket(Lr + 4 * opt.w + 4, lo=128),
+    s6 = dict(lq_max=Lr, t_max=sizes["t_span"],
               mat_bytes=np.asarray(opt.mat, np.int8).tobytes(),
               o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
               e_ins=opt.e_ins, zdrop=opt.zdrop, w_opt=opt.w, a=opt.a,
