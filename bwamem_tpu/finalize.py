@@ -297,6 +297,13 @@ def mark_primary_se(opt: MemOptions, regs: list[AlnReg], rid: int) -> int:
     n = len(regs)
     if n == 0:
         return 0
+    if n == 1:
+        # fast path (~85% of short reads end dedup with one region): the
+        # sorts, the hash tiebreak and both core rounds are no-ops
+        r = regs[0]
+        r.sub = r.alt_sc = 0
+        r.secondary = r.secondary_all = -1
+        return 0 if r.is_alt else 1
     n_pri = 0
     for i, r in enumerate(regs):
         r.sub = r.alt_sc = 0
@@ -333,6 +340,68 @@ def mark_primary_se(opt: MemOptions, regs: list[AlnReg], rid: int) -> int:
     else:
         for r in regs:
             r.secondary_all = r.secondary
+    return n_pri
+
+
+def mark_primary_many(opt: MemOptions, regs_lists: list[list[AlnReg]],
+                      ids: list[int]) -> list[int]:
+    """mark_primary_se over many reg lists at once: single-reg lists take
+    the inline fast path, multi-reg lists run in ONE native pass
+    (hostops.c:mark_primary_batch); per-read Python is the fallback.
+    Returns n_pri per list; lists are reordered in place like
+    mark_primary_se."""
+    from bwamem_tpu import native
+    n_lists = len(regs_lists)
+    n_pri = [0] * n_lists
+    multi = []
+    for i, regs in enumerate(regs_lists):
+        n = len(regs)
+        if n == 0:
+            continue
+        if n == 1:
+            r = regs[0]
+            r.sub = r.alt_sc = 0
+            r.secondary = r.secondary_all = -1
+            n_pri[i] = 0 if r.is_alt else 1
+        else:
+            multi.append(i)
+    if not multi:
+        return n_pri
+    if not native.available():
+        for i in multi:
+            n_pri[i] = mark_primary_se(opt, regs_lists[i], ids[i])
+        return n_pri
+    off = np.zeros(len(multi) + 1, np.int64)
+    np.cumsum([len(regs_lists[i]) for i in multi], out=off[1:])
+    total = int(off[-1])
+    score = np.empty(total, np.int32)
+    qb = np.empty(total, np.int32)
+    qe = np.empty(total, np.int32)
+    alt = np.empty(total, np.uint8)
+    for k, i in enumerate(multi):
+        b0 = int(off[k])
+        for j, r in enumerate(regs_lists[i]):
+            score[b0 + j] = r.score
+            qb[b0 + j] = r.qb
+            qe[b0 + j] = r.qe
+            alt[b0 + j] = r.is_alt
+    tmp = max(opt.a + opt.b, opt.o_del + opt.e_del, opt.o_ins + opt.e_ins)
+    perm, sec, sec_all, sub, sub_n, alt_sc, npri = \
+        native.mark_primary_batch(off, [ids[i] for i in multi], score, qb,
+                                  qe, alt, tmp, opt.mask_level)
+    for k, i in enumerate(multi):
+        regs = regs_lists[i]
+        b0 = int(off[k])
+        n = len(regs)
+        new = [regs[perm[b0 + j]] for j in range(n)]
+        for j, r in enumerate(new):
+            r.secondary = int(sec[b0 + j])
+            r.secondary_all = int(sec_all[b0 + j])
+            r.sub = int(sub[b0 + j])
+            r.sub_n = int(sub_n[b0 + j])
+            r.alt_sc = int(alt_sc[b0 + j])
+        regs[:] = new
+        n_pri[i] = int(npri[k])
     return n_pri
 
 

@@ -59,6 +59,155 @@ def _rlen(p: Aln) -> int:
     return sum(ln for op, ln in p.cigar if op in (0, 2))
 
 
+class SamBatch:
+    """Batch SAM renderer: collect (read, alns, which, mate) line specs,
+    render them all at once through the native line builder
+    (hostops.c:sam_batch) — one ~1 us C pass per line instead of ~20 us of
+    Python string assembly.  Falls back to per-line aln2sam when no
+    compiler is available; outputs are byte-identical either way."""
+
+    def __init__(self, opt: MemOptions, ctg_names: list[str],
+                 rg_id: Optional[str] = None,
+                 ctg_annos: Optional[list[str]] = None):
+        self.opt = opt
+        self.ctg_names = ctg_names
+        self.rg_id = rg_id
+        self.ctg_annos = ctg_annos
+        self.specs: list[tuple] = []
+
+    def add(self, read: Read, n: int, alns: list[Aln], which: int,
+            m: Optional[Aln] = None) -> int:
+        self.specs.append((read, n, alns, which, m))
+        return len(self.specs) - 1
+
+    def render(self) -> list[str]:
+        from bwamem_tpu import native
+        if not self.specs:
+            return []
+        if not native.available():
+            return [aln2sam(self.opt, self.ctg_names, r, n, alns, w, m=m,
+                            rg_id=self.rg_id, ctg_annos=self.ctg_annos)
+                    for (r, n, alns, w, m) in self.specs]
+        import numpy as np
+        opt = self.opt
+        soft_all = 1 if (opt.flag & MEM_F_SOFTCLIP) else 0
+        nl = len(self.specs)
+        fields = np.zeros((nl, 20), np.int32)
+        names, cigars, seqs, quals, mds, mcs, sas, xas, tails = \
+            ([] for _ in range(9))
+        empty = np.zeros(0, np.uint32)
+        empty_seq = np.zeros(0, np.uint8)
+        for b, (read, n, alns, which, m) in enumerate(self.specs):
+            p = alns[which]
+            flag = p.flag
+            prid, ppos, prev_, pcig = p.rid, p.pos, p.is_rev, p.cigar
+            if m is not None:
+                flag |= 0x1
+                mrid, mpos, mrev, mcig = m.rid, m.pos, m.is_rev, m.cigar
+            flag |= 0x4 if prid < 0 else 0
+            flag |= 0x8 if (m is not None and m.rid < 0) else 0
+            if prid < 0 and m is not None and mrid >= 0:
+                prid, ppos, prev_, pcig = mrid, mpos, mrev, []
+            if m is not None and mrid < 0 and prid >= 0:
+                mrid, mpos, mrev, mcig = prid, ppos, prev_, []
+            flag |= 0x10 if prev_ else 0
+            flag |= 0x20 if (m is not None and mrev) else 0
+            f = fields[b]
+            f[0] = flag
+            f[1] = prid
+            f[2] = ppos
+            f[3] = p.mapq
+            f[4] = which
+            f[5] = p.is_alt
+            f[6] = 1 if prev_ else 0
+            f[7] = read.l_seq
+            f[8] = p.NM
+            f[9] = p.score
+            f[10] = p.sub
+            f[11] = p.alt_sc
+            f[19] = soft_all
+            names.append(read.name.encode())
+            if pcig:
+                cigars.append(np.asarray(
+                    [(ln << 4) | op for op, ln in pcig], np.uint32))
+                mds.append(p.MD.encode())
+            else:
+                cigars.append(empty)
+                mds.append(b"")
+            if flag & 0x100:
+                seqs.append(empty_seq)
+                quals.append(b"")
+            else:
+                seqs.append(read.seq)
+                quals.append(read.qual.encode() if read.qual else b"")
+            if m is not None:
+                f[12] = 1
+                f[13] = mrid
+                f[14] = mpos
+                f[15] = 1 if mrev else 0
+                f[16] = _rlen_list(mcig)
+                f[17] = 1 if mcig else 0
+                mcs.append(_cigar_text_list(opt, mcig, m.is_alt,
+                                            which).encode()
+                           if mcig else b"")
+            else:
+                f[13] = -1
+                mcs.append(b"")
+            # SA payload (supplementary list, non-secondary lines only)
+            sa = b""
+            if not (flag & 0x100):
+                parts = []
+                for i2 in range(n):
+                    r2 = alns[i2]
+                    if i2 == which or (r2.flag & 0x100):
+                        continue
+                    cig = "".join(f"{ln}{CIGAR_CHARS[op]}"
+                                  for op, ln in r2.cigar)
+                    parts.append(
+                        f"{self.ctg_names[r2.rid]},{r2.pos + 1},"
+                        f"{'+-'[r2.is_rev]},{cig},{r2.mapq},{r2.NM};")
+                sa = "".join(parts).encode()
+            sas.append(sa)
+            xas.append(p.XA.encode() if p.XA else b"")
+            tail = ""
+            if read.comment:
+                tail += "\t" + read.comment
+            if (opt.flag & MEM_F_REF_HDR) and prid >= 0 and \
+                    self.ctg_annos and self.ctg_annos[prid]:
+                tail += "\tXR:Z:" + self.ctg_annos[prid].replace("\t", " ")
+            tails.append(tail.encode())
+        ctg_blob = b""
+        ctg_off = np.zeros(len(self.ctg_names) + 1, np.int64)
+        bl = []
+        pos = 0
+        for i2, nm in enumerate(self.ctg_names):
+            e = nm.encode()
+            bl.append(e)
+            pos += len(e)
+            ctg_off[i2 + 1] = pos
+        ctg_blob = b"".join(bl)
+        rg = (self.rg_id or "").encode()
+        return native.sam_render_batch(
+            fields, names, cigars, seqs, quals, mds, mcs, sas, xas, tails,
+            ctg_blob, ctg_off, rg, 1 if (opt.flag & 0x2000) else 0)
+
+
+def _rlen_list(cigar) -> int:
+    return sum(ln for op, ln in cigar if op in (0, 2))
+
+
+def _cigar_text_list(opt: MemOptions, cigar, is_alt: int, which: int) -> str:
+    if not cigar:
+        return "*"
+    out = []
+    for op, ln in cigar:
+        c = op
+        if not (opt.flag & MEM_F_SOFTCLIP) and not is_alt and c in (3, 4):
+            c = 4 if which else 3
+        out.append(f"{ln}{CIGAR_CHARS[c]}")
+    return "".join(out)
+
+
 def aln2sam(opt: MemOptions, ctg_names: list[str], read: Read, n: int,
             alns: list[Aln], which: int, m: Optional[Aln] = None,
             rg_id: Optional[str] = None,

@@ -54,6 +54,26 @@ def _load():
             lib.nm_md_batch.argtypes = [
                 ctypes.c_int64, _u32p, _i64p, _u8p, _i64p, _u8p, _i64p,
                 _u8p, _i32p, ctypes.c_char_p, ctypes.c_int64, _i64p]
+            lib.mark_primary_batch.restype = ctypes.c_int
+            lib.mark_primary_batch.argtypes = [
+                ctypes.c_int64, _i64p, _i64p, _i32p, _i32p, _i32p, _u8p,
+                ctypes.c_int32, ctypes.c_float,
+                _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
+            lib.sam_batch.restype = ctypes.c_int64
+            lib.sam_batch.argtypes = [
+                ctypes.c_int64, _i32p,
+                ctypes.c_char_p, _i64p,   # name
+                _u32p, _i64p,             # cigar
+                _u8p, _i64p,              # seq
+                ctypes.c_char_p, _i64p,   # qual
+                ctypes.c_char_p, _i64p,   # md
+                ctypes.c_char_p, _i64p,   # mc
+                ctypes.c_char_p, _i64p,   # sa
+                ctypes.c_char_p, _i64p,   # xa
+                ctypes.c_char_p, _i64p,   # tail
+                ctypes.c_char_p, _i64p,   # ctg names
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_char_p, ctypes.c_int64, _i64p]
             _lib = lib
         except (OSError, subprocess.CalledProcessError):
             _failed = True
@@ -105,6 +125,80 @@ def ksw_global_batch(queries, targets, wband, mat, o_del, e_del, o_ins,
     cigars = [[(int(c & 0xF), int(c >> 4)) for c in cig[b, : ncig[b]]]
               for b in range(n)]
     return scores, cigars
+
+
+def mark_primary_batch(off, ids, score, qb, qe, is_alt, tmp, mask_level):
+    """mem_mark_primary_se over flat read-major reg arrays (reads with
+    n >= 2 only).  Returns (perm, secondary, secondary_all, sub, sub_n,
+    alt_sc, n_pri) — perm[k] = read-local original index of sorted slot k."""
+    lib = _load()
+    n_reads = len(off) - 1
+    n_regs = int(off[-1])
+    outs = [np.zeros(n_regs, np.int32) for _ in range(6)]
+    n_pri = np.zeros(n_reads, np.int32)
+    rc = lib.mark_primary_batch(
+        n_reads, np.ascontiguousarray(off, np.int64).ctypes.data_as(_i64p),
+        np.ascontiguousarray(ids, np.int64).ctypes.data_as(_i64p),
+        np.ascontiguousarray(score, np.int32).ctypes.data_as(_i32p),
+        np.ascontiguousarray(qb, np.int32).ctypes.data_as(_i32p),
+        np.ascontiguousarray(qe, np.int32).ctypes.data_as(_i32p),
+        np.ascontiguousarray(is_alt, np.uint8).ctypes.data_as(_u8p),
+        int(tmp), float(mask_level),
+        *(o.ctypes.data_as(_i32p) for o in outs),
+        n_pri.ctypes.data_as(_i32p))
+    if rc != 0:
+        raise MemoryError("mark_primary_batch native failure")
+    return (*outs, n_pri)
+
+
+def sam_render_batch(fields, names, cigars, seqs, quals, mds, mcs, sas,
+                     xas, tails, ctg_blob, ctg_off, rg, xb_flag):
+    """Render SAM lines (mem_aln2sam columns+tags) from numeric records.
+    fields: [n, 20] int32 (see hostops.c sam_batch); blobs are lists of
+    bytes/arrays per line.  Returns list[str] (each ending in newline)."""
+    lib = _load()
+    n = len(names)
+    f = np.ascontiguousarray(fields, np.int32)
+    name_b, name_o = _cat([np.frombuffer(x, np.uint8) for x in names],
+                          np.uint8)
+    cig_b, cig_o = _cat(cigars, np.uint32)
+    seq_b, seq_o = _cat(seqs, np.uint8)
+    qual_b, qual_o = _cat([np.frombuffer(x, np.uint8) for x in quals],
+                          np.uint8)
+    md_b, md_o = _cat([np.frombuffer(x, np.uint8) for x in mds], np.uint8)
+    mc_b, mc_o = _cat([np.frombuffer(x, np.uint8) for x in mcs], np.uint8)
+    sa_b, sa_o = _cat([np.frombuffer(x, np.uint8) for x in sas], np.uint8)
+    xa_b, xa_o = _cat([np.frombuffer(x, np.uint8) for x in xas], np.uint8)
+    tl_b, tl_o = _cat([np.frombuffer(x, np.uint8) for x in tails], np.uint8)
+    line_off = np.zeros(n + 1, np.int64)
+    cap = int(len(seq_b) * 2 + len(name_b) + len(md_b) + len(mc_b)
+              + len(sa_b) + len(xa_b) + len(tl_b) + 256 * n + 1024)
+
+    def cp(a):
+        return a.ctypes.data_as(ctypes.c_char_p)
+
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        need = lib.sam_batch(
+            n, f.ctypes.data_as(_i32p),
+            cp(name_b), name_o.ctypes.data_as(_i64p),
+            cig_b.ctypes.data_as(_u32p), cig_o.ctypes.data_as(_i64p),
+            seq_b.ctypes.data_as(_u8p), seq_o.ctypes.data_as(_i64p),
+            cp(qual_b), qual_o.ctypes.data_as(_i64p),
+            cp(md_b), md_o.ctypes.data_as(_i64p),
+            cp(mc_b), mc_o.ctypes.data_as(_i64p),
+            cp(sa_b), sa_o.ctypes.data_as(_i64p),
+            cp(xa_b), xa_o.ctypes.data_as(_i64p),
+            cp(tl_b), tl_o.ctypes.data_as(_i64p),
+            ctg_blob, ctg_off.ctypes.data_as(_i64p),
+            rg, len(rg), int(xb_flag),
+            buf, cap, line_off.ctypes.data_as(_i64p))
+        if need == 0:
+            break
+        cap = max(int(need), cap * 2)
+    raw = buf.raw
+    return [raw[int(line_off[b]): int(line_off[b + 1])].decode()
+            for b in range(n)]
 
 
 def nm_md_batch(cigars, qsegs, rseqs, is_rev):

@@ -238,3 +238,359 @@ need:
         return need + 64;
     }
 }
+
+/* ------------------------------------------------------------------------
+ * mark_primary_batch — mem_mark_primary_se over a batch of reg lists
+ * (reference bwamem.c:503-565; spec: finalize.mark_primary_se).  Reads
+ * with <2 regs are handled by the Python fast path and never reach here.
+ *
+ * Inputs are read-major flat arrays in the PRE-SORT order; outputs include
+ * the final sorted order as a read-local permutation (perm[k] = original
+ * index of the reg at sorted position k) plus the per-reg fields the two
+ * core rounds assign.  Tie stability is irrelevant: the sort keys embed
+ * the 64-bit hash of the batch-global record id (distinct per reg).
+ * ---------------------------------------------------------------------- */
+
+static inline uint64_t hash64(uint64_t key)
+{
+    key += ~(key << 32); key ^= (key >> 22);
+    key += ~(key << 13); key ^= (key >> 8);
+    key += (key << 3);   key ^= (key >> 15);
+    key += ~(key << 27); key ^= (key >> 31);
+    return key;
+}
+
+typedef struct {
+    int32_t score, qb, qe;
+    uint8_t is_alt;
+    uint64_t hash;
+    int32_t orig;                       /* original read-local index */
+    int32_t secondary, secondary_all, sub, sub_n, alt_sc;
+} mpreg_t;
+
+static int cmp_hash(const void *a_, const void *b_)
+{   /* mem_ars_hash: score desc, is_alt asc, hash asc (bwamem.c:533) */
+    const mpreg_t *a = a_, *b = b_;
+    if (a->score != b->score) return a->score > b->score ? -1 : 1;
+    if (a->is_alt != b->is_alt) return a->is_alt < b->is_alt ? -1 : 1;
+    return a->hash < b->hash ? -1 : a->hash > b->hash ? 1 : 0;
+}
+
+static int cmp_hash2(const void *a_, const void *b_)
+{   /* mem_ars_hash2: is_alt asc, score desc, hash asc (bwamem.c:537) */
+    const mpreg_t *a = a_, *b = b_;
+    if (a->is_alt != b->is_alt) return a->is_alt < b->is_alt ? -1 : 1;
+    if (a->score != b->score) return a->score > b->score ? -1 : 1;
+    return a->hash < b->hash ? -1 : a->hash > b->hash ? 1 : 0;
+}
+
+static void mark_core(mpreg_t *a, int n, int tmp, float mask_level,
+                      int *z /* scratch >= n */)
+{   /* mem_mark_primary_se_core (bwamem.c:503-527) */
+    int nz = 0, i, k;
+    z[nz++] = 0;
+    for (i = 1; i < n; i++) {
+        int placed = 0;
+        for (k = 0; k < nz; k++) {
+            int j = z[k];
+            int b_max = a[j].qb > a[i].qb ? a[j].qb : a[i].qb;
+            int e_min = a[j].qe < a[i].qe ? a[j].qe : a[i].qe;
+            if (e_min > b_max) {
+                int li = a[i].qe - a[i].qb, lj = a[j].qe - a[j].qb;
+                int min_l = li < lj ? li : lj;
+                if (e_min - b_max >= min_l * mask_level) {
+                    if (a[j].sub == 0) a[j].sub = a[i].score;
+                    if (a[j].score - a[i].score <= tmp &&
+                        (a[j].is_alt || !a[i].is_alt))
+                        a[j].sub_n++;
+                    a[i].secondary = j;
+                    placed = 1;
+                    break;
+                }
+            }
+        }
+        if (!placed) z[nz++] = i;
+    }
+}
+
+#define MP_INT_MAX 0x7FFFFFFF
+
+int mark_primary_batch(int64_t n_reads, const int64_t *off,
+                       const int64_t *ids,
+                       const int32_t *score, const int32_t *qb,
+                       const int32_t *qe, const uint8_t *is_alt,
+                       int32_t tmp /* max(a+b, o_del+e_del, o_ins+e_ins) */,
+                       float mask_level,
+                       int32_t *perm, int32_t *secondary,
+                       int32_t *secondary_all, int32_t *sub,
+                       int32_t *sub_n, int32_t *alt_sc, int32_t *n_pri_out)
+{
+    int64_t nmax = 0;
+    for (int64_t r = 0; r < n_reads; r++)
+        if (off[r + 1] - off[r] > nmax) nmax = off[r + 1] - off[r];
+    mpreg_t *a = malloc((nmax ? nmax : 1) * sizeof(mpreg_t));
+    int *z = malloc((nmax ? nmax : 1) * sizeof(int));
+    int *zmap = malloc((nmax ? nmax : 1) * sizeof(int));
+    if (!a || !z || !zmap) { free(a); free(z); free(zmap); return -2; }
+    for (int64_t r = 0; r < n_reads; r++) {
+        int64_t b0 = off[r];
+        int n = (int)(off[r + 1] - b0);
+        int n_pri = 0, i;
+        for (i = 0; i < n; i++) {
+            a[i].score = score[b0 + i];
+            a[i].qb = qb[b0 + i];
+            a[i].qe = qe[b0 + i];
+            a[i].is_alt = is_alt[b0 + i];
+            a[i].hash = hash64((uint64_t)(ids[r] + i));
+            a[i].orig = i;
+            a[i].secondary = a[i].secondary_all = -1;
+            a[i].sub = a[i].sub_n = a[i].alt_sc = 0;
+            if (!a[i].is_alt) n_pri++;
+        }
+        qsort(a, n, sizeof(mpreg_t), cmp_hash);
+        mark_core(a, n, tmp, mask_level, z);
+        for (i = 0; i < n; i++) {
+            a[i].secondary_all = i;
+            if (!a[i].is_alt && a[i].secondary >= 0 &&
+                a[a[i].secondary].is_alt)
+                a[i].alt_sc = a[a[i].secondary].score;
+        }
+        if (n_pri < n) {
+            if (n_pri > 0) qsort(a, n, sizeof(mpreg_t), cmp_hash2);
+            for (i = 0; i < n; i++) zmap[a[i].secondary_all] = i;
+            for (i = 0; i < n; i++) {
+                if (a[i].secondary >= 0) {
+                    a[i].secondary_all = zmap[a[i].secondary];
+                    if (a[i].is_alt) a[i].secondary = MP_INT_MAX;
+                } else {
+                    a[i].secondary_all = -1;
+                }
+            }
+            if (n_pri > 0) {
+                for (i = 0; i < n_pri; i++) {
+                    a[i].sub = 0;
+                    a[i].secondary = -1;
+                }
+                mark_core(a, n_pri, tmp, mask_level, z);
+            }
+        } else {
+            for (i = 0; i < n; i++) a[i].secondary_all = a[i].secondary;
+        }
+        for (i = 0; i < n; i++) {
+            perm[b0 + i] = a[i].orig;
+            secondary[b0 + i] = a[i].secondary;
+            secondary_all[b0 + i] = a[i].secondary_all;
+            sub[b0 + i] = a[i].sub;
+            sub_n[b0 + i] = a[i].sub_n;
+            alt_sc[b0 + i] = a[i].alt_sc;
+        }
+        n_pri_out[r] = n_pri;
+    }
+    free(a); free(z); free(zmap);
+    return 0;
+}
+
+/* ------------------------------------------------------------------------
+ * sam_batch — render SAM lines from numeric records (mem_aln2sam,
+ * reference bwamem.c:832-956; spec: io/sam.aln2sam).  The caller
+ * (io/sam.SamBatch) does the branchy mate fixups in Python and passes
+ * FINAL per-line fields; this renders columns + tags.
+ *
+ * fields per line (int32, F32 columns):
+ *   0 flag(raw) 1 rid 2 pos 3 mapq 4 which 5 is_alt 6 is_rev 7 l_seq
+ *   8 NM 9 AS 10 XS 11 alt_sc 12 has_mate 13 m_rid 14 m_pos 15 m_is_rev
+ *   16 m_rlen 17 m_has_cigar 18 qb_hint(unused) 19 softclip_all
+ * blobs (each with [n+1] offsets): name, cigar(u32 runs), seq(nt4 full),
+ * qual(bytes; empty=*), md, mc, sa, xa, tail(comment/XR pre-rendered with
+ * leading tab).  ctg: contig-name blob indexed by rid via coff.
+ * Output: out buffer + line offsets; returns 0 or needed size.
+ * ---------------------------------------------------------------------- */
+
+#define F32 20
+
+static inline char *put_u(char *p, uint32_t v)
+{
+    char tmp[12]; int k = 0;
+    if (!v) { *p++ = '0'; return p; }
+    while (v) { tmp[k++] = '0' + v % 10; v /= 10; }
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+static inline char *put_i(char *p, int64_t v)
+{
+    if (v < 0) { *p++ = '-'; v = -v; }
+    return put_u(p, (uint32_t)v);
+}
+
+int64_t sam_batch(int64_t n_lines, const int32_t *fields,
+                  const char *name, const int64_t *name_off,
+                  const uint32_t *cig, const int64_t *cig_off,
+                  const uint8_t *seq, const int64_t *seq_off,
+                  const char *qual, const int64_t *qual_off,
+                  const char *md, const int64_t *md_off,
+                  const char *mc, const int64_t *mc_off,
+                  const char *sa, const int64_t *sa_off,
+                  const char *xa, const int64_t *xa_off,
+                  const char *tail, const int64_t *tail_off,
+                  const char *ctg, const int64_t *coff,
+                  const char *rg, int64_t rg_len, int32_t xb_flag,
+                  char *out, int64_t cap, int64_t *line_off)
+{
+    static const char CIG[6] = "MIDSHN";
+    static const char FWDB[5] = "ACGTN";
+    static const char REVB[5] = "TGCAN";
+    int64_t pos = 0;
+    for (int64_t b = 0; b < n_lines; b++) {
+        const int32_t *f = fields + b * F32;
+        int32_t flag = f[0], rid = f[1], p_pos = f[2], mapq = f[3];
+        int32_t which = f[4], is_alt = f[5], is_rev = f[6], l_seq = f[7];
+        int64_t nlen = name_off[b + 1] - name_off[b];
+        int64_t ncg = cig_off[b + 1] - cig_off[b];
+        const uint32_t *cg = cig + cig_off[b];
+        int soft = f[19] || is_alt;     /* S stays S (MEM_F_SOFTCLIP/alt) */
+        /* worst-case line size */
+        int64_t need = nlen + 64 + ncg * 12 + 2 * (int64_t)l_seq
+            + (md_off[b + 1] - md_off[b]) + (mc_off[b + 1] - mc_off[b])
+            + (sa_off[b + 1] - sa_off[b]) + (xa_off[b + 1] - xa_off[b])
+            + (tail_off[b + 1] - tail_off[b]) + rg_len + 160;
+        if (rid >= 0) need += coff[rid + 1] - coff[rid];
+        if (f[13] >= 0) need += coff[f[13] + 1] - coff[f[13]];
+        if (pos + need > cap) {
+            int64_t total = pos + need + 64;
+            for (int64_t b2 = b + 1; b2 < n_lines; b2++) {
+                const int32_t *f2 = fields + b2 * F32;
+                total += (name_off[b2+1]-name_off[b2]) + 64
+                    + (cig_off[b2+1]-cig_off[b2]) * 12 + 2 * (int64_t)f2[7]
+                    + (md_off[b2+1]-md_off[b2]) + (mc_off[b2+1]-mc_off[b2])
+                    + (sa_off[b2+1]-sa_off[b2]) + (xa_off[b2+1]-xa_off[b2])
+                    + (tail_off[b2+1]-tail_off[b2]) + rg_len + 320;
+            }
+            return total;
+        }
+        char *o = out + pos;
+        line_off[b] = pos;
+        memcpy(o, name + name_off[b], nlen); o += nlen;
+        *o++ = '\t';
+        uint32_t flag16 = (flag & 0xFFFF) | ((flag & 0x10000) ? 0x100 : 0);
+        o = put_u(o, flag16); *o++ = '\t';
+        if (rid >= 0) {
+            int64_t cl = coff[rid + 1] - coff[rid];
+            memcpy(o, ctg + coff[rid], cl); o += cl;
+            *o++ = '\t';
+            o = put_u(o, (uint32_t)(p_pos + 1)); *o++ = '\t';
+            o = put_u(o, (uint32_t)mapq); *o++ = '\t';
+            if (!ncg) { *o++ = '*'; }
+            for (int64_t k = 0; k < ncg; k++) {
+                int op = cg[k] & 0xF;
+                if (!soft && (op == 3 || op == 4)) op = which ? 4 : 3;
+                o = put_u(o, cg[k] >> 4);
+                *o++ = CIG[op];
+            }
+        } else {
+            memcpy(o, "*\t0\t0\t*", 7); o += 7;
+        }
+        *o++ = '\t';
+        int32_t m_rid = f[13];
+        if (f[12] && m_rid >= 0) {
+            if (rid == m_rid) *o++ = '=';
+            else {
+                int64_t cl = coff[m_rid + 1] - coff[m_rid];
+                memcpy(o, ctg + coff[m_rid], cl); o += cl;
+            }
+            *o++ = '\t';
+            o = put_u(o, (uint32_t)(f[14] + 1)); *o++ = '\t';
+            if (rid == m_rid && ncg && f[17]) {
+                int64_t rl = 0;
+                for (int64_t k = 0; k < ncg; k++) {
+                    int op = cg[k] & 0xF;
+                    if (op == 0 || op == 2) rl += cg[k] >> 4;
+                }
+                int64_t p0 = p_pos + (is_rev ? rl - 1 : 0);
+                int64_t p1 = f[14] + (f[15] ? (int64_t)f[16] - 1 : 0);
+                int64_t sg = p0 > p1 ? 1 : p0 < p1 ? -1 : 0;
+                o = put_i(o, -(p0 - p1 + sg));
+            } else {
+                *o++ = '0';
+            }
+        } else {
+            memcpy(o, "*\t0\t0", 5); o += 5;
+        }
+        *o++ = '\t';
+        if (flag & 0x100) {
+            *o++ = '*'; *o++ = '\t'; *o++ = '*';
+        } else {
+            int32_t qb = 0, qe = l_seq;
+            if (ncg && which && !soft) {
+                int c0 = cg[0] & 0xF, cl0 = cg[0] >> 4;
+                int cn = cg[ncg - 1] & 0xF, cln = cg[ncg - 1] >> 4;
+                if (!is_rev) {
+                    if (c0 == 3 || c0 == 4) qb += cl0;
+                    if (cn == 3 || cn == 4) qe -= cln;
+                } else {
+                    if (c0 == 3 || c0 == 4) qe -= cl0;
+                    if (cn == 3 || cn == 4) qb += cln;
+                }
+            }
+            const uint8_t *sq = seq + seq_off[b];
+            if (!is_rev)
+                for (int32_t i = qb; i < qe; i++) *o++ = FWDB[sq[i]];
+            else
+                for (int32_t i = qe - 1; i >= qb; i--) *o++ = REVB[sq[i]];
+            *o++ = '\t';
+            int64_t qln = qual_off[b + 1] - qual_off[b];
+            if (!qln) *o++ = '*';
+            else if (!is_rev) {
+                memcpy(o, qual + qual_off[b] + qb, qe - qb); o += qe - qb;
+            } else {
+                const char *qs = qual + qual_off[b];
+                for (int32_t i = qe - 1; i >= qb; i--) *o++ = qs[i];
+            }
+        }
+        if (ncg) {
+            memcpy(o, "\tNM:i:", 6); o += 6;
+            o = put_i(o, f[8]);
+            memcpy(o, "\tMD:Z:", 6); o += 6;
+            int64_t ml = md_off[b + 1] - md_off[b];
+            memcpy(o, md + md_off[b], ml); o += ml;
+        }
+        int64_t mcl = mc_off[b + 1] - mc_off[b];
+        if (mcl) {
+            memcpy(o, "\tMC:Z:", 6); o += 6;
+            memcpy(o, mc + mc_off[b], mcl); o += mcl;
+        }
+        if (f[9] >= 0) {
+            memcpy(o, "\tAS:i:", 6); o += 6;
+            o = put_i(o, f[9]);
+        }
+        if (f[10] >= 0) {
+            memcpy(o, "\tXS:i:", 6); o += 6;
+            o = put_i(o, f[10]);
+        }
+        if (rg_len) {
+            memcpy(o, "\tRG:Z:", 6); o += 6;
+            memcpy(o, rg, rg_len); o += rg_len;
+        }
+        if (!(flag & 0x100)) {
+            int64_t sl = sa_off[b + 1] - sa_off[b];
+            if (sl) {
+                memcpy(o, "\tSA:Z:", 6); o += 6;
+                memcpy(o, sa + sa_off[b], sl); o += sl;
+            }
+            if (f[11] > 0) {        /* pa:f: score/alt_sc */
+                o += sprintf(o, "\tpa:f:%.3f", (double)f[9] / f[11]);
+            }
+        }
+        int64_t xl = xa_off[b + 1] - xa_off[b];
+        if (xl) {
+            memcpy(o, xb_flag ? "\tXB:Z:" : "\tXA:Z:", 6); o += 6;
+            memcpy(o, xa + xa_off[b], xl); o += xl;
+        }
+        int64_t tl = tail_off[b + 1] - tail_off[b];
+        if (tl) { memcpy(o, tail + tail_off[b], tl); o += tl; }
+        *o++ = '\n';
+        pos = o - out;
+    }
+    line_off[n_lines] = pos;
+    return 0;
+}

@@ -306,8 +306,9 @@ class Aligner:
         return xa_by_pri
 
     def _phaseC_reg2sam(self, read, regs, picks, xa_by_pri, jobs,
-                        extra_flag, mate, rg_id):
-        """mem_reg2sam phase C (bwamem.c:1025-1056)."""
+                        extra_flag, mate, sb):
+        """mem_reg2sam phase C (bwamem.c:1025-1056).  Lines are enqueued on
+        the SamBatch; returns the line indices for this read."""
         opt = self.opt
         alns: list[fin.Aln] = []
         for k, jidx in picks:
@@ -329,13 +330,9 @@ class Aligner:
         if not alns:
             t = fin.unmapped_aln()
             t.flag |= extra_flag
-            return samio.aln2sam(opt, self.ctg_names, read, 1, [t], 0,
-                                 m=mate, rg_id=rg_id,
-                                 ctg_annos=self.ctg_annos)
-        return "".join(
-            samio.aln2sam(opt, self.ctg_names, read, len(alns), alns, w,
-                          m=mate, rg_id=rg_id, ctg_annos=self.ctg_annos)
-            for w in range(len(alns)))
+            return [sb.add(read, 1, [t], 0, m=mate)]
+        return [sb.add(read, len(alns), alns, w, m=mate)
+                for w in range(len(alns))]
 
     # ------------------------------------------------------------ SE batch
 
@@ -348,20 +345,25 @@ class Aligner:
         all_regs = self._regs_from_device(reads)
         jobs: list[fin.CigarJob] = []
         sel, xa_jobs = [], []
+        with timers.section("mark.batch"):
+            fin.mark_primary_many(
+                opt, all_regs, [n_processed + i for i in range(len(reads))])
         for i, regs in enumerate(all_regs):
-            fin.mark_primary_se(opt, regs, n_processed + i)
             if opt.flag & MEM_F_PRIMARY5:
                 fin.reorder_primary5(opt, regs)
             xa_jobs.append(self._phaseA_gen_alt(regs, reads[i], jobs))
             sel.append(self._phaseA_reg2sam(regs, reads[i], jobs))
         fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
                            self._device_global)
-        out = []
+        sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
+        idxs = []
         for i, regs in enumerate(all_regs):
             xa = self._xa_strings(xa_jobs[i], jobs)
-            out.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
-                                            jobs, 0, None, rg_id))
-        return out
+            idxs.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
+                                             jobs, 0, None, sb))
+        with timers.section("sam.render"):
+            lines = sb.render()
+        return ["".join(lines[j] for j in ix) for ix in idxs]
 
     # ------------------------------------------------------------ PE batch
 
@@ -472,12 +474,15 @@ class Aligner:
         # per-pair phase A
         jobs: list[fin.CigarJob] = []
         plans = []
+        with timers.section("mark.batch"):
+            ids = [(((n_processed >> 1) + (e >> 1)) << 1) | (e & 1)
+                   for e in range(2 * n_pairs)]
+            n_pri_all = fin.mark_primary_many(opt, all_regs, ids)
         for p in range(n_pairs):
             pid = (n_processed >> 1) + p
             a = (all_regs[2 * p], all_regs[2 * p + 1])
             s = (reads[2 * p], reads[2 * p + 1])
-            n_pri = [fin.mark_primary_se(opt, a[0], (pid << 1) | 0),
-                     fin.mark_primary_se(opt, a[1], (pid << 1) | 1)]
+            n_pri = [n_pri_all[2 * p], n_pri_all[2 * p + 1]]
             if opt.flag & MEM_F_PRIMARY5:
                 fin.reorder_primary5(opt, a[0])
                 fin.reorder_primary5(opt, a[1])
@@ -596,7 +601,8 @@ class Aligner:
                            self._device_global)
 
         # phase C
-        out: list[str] = [""] * len(reads)
+        sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
+        idxs: list[list[int]] = [[] for _ in range(len(reads))]
         for p in range(n_pairs):
             plan = plans[p]
             a = (all_regs[2 * p], all_regs[2 * p + 1])
@@ -626,12 +632,9 @@ class Aligner:
                             gi.XA = "".join(xa_by_pri[npr])
                         aa[i].append(gi)
                 for i in range(2):
-                    out[2 * p + i] = "".join(
-                        samio.aln2sam(opt, self.ctg_names, s[i],
-                                      len(aa[i]), aa[i], w, m=h[1 - i],
-                                      rg_id=rg_id,
-                                      ctg_annos=self.ctg_annos)
-                        for w in range(len(aa[i])))
+                    idxs[2 * p + i] = [
+                        sb.add(s[i], len(aa[i]), aa[i], w, m=h[1 - i])
+                        for w in range(len(aa[i]))]
             else:
                 extra = plan["extra"]
                 h = [None, None]
@@ -644,11 +647,12 @@ class Aligner:
                         h[i] = fin.unmapped_aln()
                 for i in range(2):
                     xa_by_pri = self._xa_strings(plan["xa"][i], jobs)
-                    out[2 * p + i] = self._phaseC_reg2sam(
+                    idxs[2 * p + i] = self._phaseC_reg2sam(
                         s[i], a[i], plan["sel"][i], xa_by_pri, jobs,
-                        (0x41 if i == 0 else 0x81) | extra, h[1 - i],
-                        rg_id)
-        return out
+                        (0x41 if i == 0 else 0x81) | extra, h[1 - i], sb)
+        with timers.section("sam.render"):
+            lines = sb.render()
+        return ["".join(lines[j] for j in ix) for ix in idxs]
 
 
 def align_stream(al: Aligner, batch_iter, *, pe: bool = False,
