@@ -14,9 +14,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      str(Path(__file__).resolve().parent.parent
-                          / ".testdata" / "jaxcache"))
+# No persistent compilation cache under pytest: serializing the giant fused
+# pipeline executables from a long-lived suite process segfaults inside the
+# cache write (zstd over a multi-hundred-MB CPU executable; reproduced at
+# tests 45-47 of the full suite, never in isolation).  CPU compiles are
+# cheap; the cache's value is the TPU production path, which keeps it.
+os.environ["BWAMEM_TPU_JAX_CACHE"] = "0"
 
 # The axon PJRT plugin ignores the JAX_PLATFORMS env var — it must be forced
 # through the config API before any backend initialization.
@@ -26,6 +29,20 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_xla_between_modules():
+    """Free compiled executables between test modules.  With ~50 tests'
+    worth of live CPU executables in one process, XLA's
+    backend_compile_and_load segfaults on the next giant fused-pipeline
+    compile (reproduced at tests 45-47 of the full suite across two
+    rounds; every module passes in isolation).  Dropping the jit caches
+    at module boundaries keeps the live-executable population bounded at
+    what one module needs."""
+    yield
+    jax.clear_caches()
+
 
 REPO = Path(__file__).resolve().parent.parent
 ORACLE = REPO / "tools" / "oracle" / "bwa_oracle"
