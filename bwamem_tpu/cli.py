@@ -200,19 +200,24 @@ def cmd_mem(argv: list[str]) -> int:
     from bwamem_tpu.io.fastq import read_fastx, interleave, batches
     from bwamem_tpu.pipeline.align import Aligner
 
+    from bwamem_tpu.parallel import multihost
+    pid, nproc = multihost.init_from_env()
+
     idx = load_index(args[0])
     if x["ignore_alt"]:
         for c in idx.contigs:
             c.is_alt = 0
-    out = open(x["out"], "w") if x["out"] else sys.stdout
-
-    pg = ("@PG\tID:bwamem_tpu\tPN:bwamem_tpu\tVN:0.1.0\tCL:" +
-          " ".join(["bwamem_tpu", "mem"] + argv))
-    hdr = [x["hdr_line"]] if x["hdr_line"] else []
-    if x["rg_line"]:
-        hdr.append(x["rg_line"])
-    out.write(samio.sam_header(idx.contigs, pg_line=pg,
-                               hdr_line="\n".join(hdr) if hdr else None))
+    # multi-host: only rank 0 owns the output stream (header + merge)
+    out = None
+    if nproc == 1 or pid == 0:
+        out = open(x["out"], "w") if x["out"] else sys.stdout
+        pg = ("@PG\tID:bwamem_tpu\tPN:bwamem_tpu\tVN:0.1.0\tCL:" +
+              " ".join(["bwamem_tpu", "mem"] + argv))
+        hdr = [x["hdr_line"]] if x["hdr_line"] else []
+        if x["rg_line"]:
+            hdr.append(x["rg_line"])
+        out.write(samio.sam_header(idx.contigs, pg_line=pg,
+                                   hdr_line="\n".join(hdr) if hdr else None))
 
     rdr = read_fastx(args[1])
     pe = bool(opt.flag & MEM_F_PE)
@@ -231,6 +236,29 @@ def cmd_mem(argv: list[str]) -> int:
     n_processed = 0
     chunk = x["fixed_chunk"] if x["fixed_chunk"] > 0 else \
         opt.chunk_size * opt.n_threads
+    if nproc > 1:
+        # multi-host: this rank aligns chunks pid, pid+nproc, ... and
+        # writes a shard; rank 0 merges in chunk order after the global
+        # barrier (SURVEY §5.8 — chunk-local pestat makes this
+        # bit-identical to the single-host run, parallel/multihost.py)
+        base = x["out"] or "bwamem_out.sam"
+        shard = f"{base}.shard{pid}"
+        sys.stderr.write(f"[M::mem] multi-host rank {pid}/{nproc}; "
+                         f"shard -> {shard}\n")
+        done = multihost.align_shard(
+            al, _batches_by_bases(rdr, chunk, pe), process_id=pid,
+            num_processes=nproc, shard_path=shard, pe=pe, rg_id=rg)
+        sys.stderr.write(f"[M::mem] rank {pid} aligned {done} reads\n")
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("bwamem_tpu_shards_done")
+        if pid == 0:
+            out.flush()
+            shards = [f"{base}.shard{r}" for r in range(nproc)]
+            multihost.merge_shards(shards, out.buffer
+                                   if hasattr(out, "buffer") else out)
+            if x["out"]:
+                out.close()
+        return 0
     # reads per batch ~ chunk bases (bseq_read semantics, bwa.c:195-210);
     # batches overlap input/compute/output like the reference's
     # superbatch/minibatch async pipeline

@@ -12,8 +12,10 @@ its own streams, cuda/streams.cu:307-352):
     alignment pipeline is embarrassingly data-parallel over reads/lanes —
     seeding arenas, chaining grids and SW lanes never cross shards.
   * The ONE global reduction is PE insert-size inference (reference
-    bwamem.c:1236-1239): per-shard samples ride a `jax.lax.all_gather`
-    (pair.pestat via align.Aligner) and every shard sees the same stats.
+    bwamem.c:1236-1239): the driving host computes pestat once over the
+    regs gathered from every shard, so all shards pair against the same
+    stats.  (A true `all_gather` collective replaces this only in the
+    multi-host path, where no single host sees all regs.)
   * Per-shard SAM is merged on host in read order — deterministic output
     (reference's ordered superbatch writer, cuda/minibatch_process.cpp:
     160-162).
