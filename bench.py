@@ -32,6 +32,8 @@ GENOME = 5_000_000
 N_READS = 20_000
 READ_LEN = 101
 BATCH = 8192
+PE_PAIRS = 8192          # 150bp PE panel (the BASELINE.json metric shape)
+PE_LEN = 150
 
 
 def ensure_data():
@@ -59,15 +61,24 @@ def ensure_data():
         from bwamem_tpu.index import build_index
         idx = build_index(fa, with_kmer_table=True)
         idx.save(str(prefix) + ".ours")
+    fq1, fq2 = str(prefix) + ".pe_1.fq", str(prefix) + ".pe_2.fq"
+    if not os.path.exists(fq2):
+        contigs = simdata.make_genome(GENOME, seed=42, n_contigs=1)
+        pr = simdata.sim_reads(contigs, 2 * PE_PAIRS, read_len=PE_LEN,
+                               seed=44, paired=True)
+        simdata.write_fastq(pr[0::2], fq1)
+        simdata.write_fastq(pr[1::2], fq2)
     return str(prefix), fa, fq
 
 
-def cpu_baseline(prefix: str, fa: str, fq: str, threads: int = 1) -> float:
+def cpu_baseline(prefix: str, fa: str, fq: str, threads: int = 1,
+                 fq2: str | None = None, n_reads: int = N_READS,
+                 tag: str = "") -> float:
     """reads/s of CPU bwa mem -t `threads` on the same input (cached).
     -t 1 is the correctness-era anchor; -t nproc is the practical speed
     anchor per BASELINE.md (the reference GPU has no end-to-end number)."""
-    cache = Path(prefix + (".cpu_baseline.json" if threads == 1 else
-                           f".cpu_baseline_t{threads}.json"))
+    cache = Path(prefix + (f".cpu_baseline{tag}.json" if threads == 1 else
+                           f".cpu_baseline{tag}_t{threads}.json"))
     if cache.exists():
         return json.loads(cache.read_text())["reads_per_sec"]
     oracle = REPO / "tools" / "oracle" / "bwa_oracle"
@@ -77,12 +88,14 @@ def cpu_baseline(prefix: str, fa: str, fq: str, threads: int = 1) -> float:
     if not os.path.exists(prefix + ".sa"):
         subprocess.run([str(oracle), "index", fa, prefix], check=True,
                        capture_output=True)
+    cmd = [str(oracle), "mem", "-t", str(threads), prefix, fq]
+    if fq2:
+        cmd.append(fq2)
     t0 = time.perf_counter()
-    subprocess.run([str(oracle), "mem", "-t", str(threads), prefix, fq],
-                   check=True, stdout=subprocess.DEVNULL,
+    subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     dt = time.perf_counter() - t0
-    rps = N_READS / dt
+    rps = n_reads / dt
     cache.write_text(json.dumps({"reads_per_sec": rps, "seconds": dt,
                                  "threads": threads}))
     return rps
@@ -132,10 +145,30 @@ def main():
     from profile_batch import profile_phases
     ph = profile_phases(al, reads[:BATCH], reps=1, warmup=False)
     csv = Path(prefix + ".perf_profile.csv")
-    cols = sorted(ph)
-    csv.write_text("batch," + ",".join(c + "(ms)" for c in cols) + "\n" +
+    tcols = sorted(k for k in ph if not k.endswith((".count", ".MB")))
+    counts = {k: ph[k] for k in ph if k.endswith(".count")}
+    mbs = {k: round(ph[k], 2) for k in ph if k.endswith(".MB")}
+    csv.write_text("batch," + ",".join(c + "(ms)" for c in tcols) + "\n" +
                    f"{BATCH}," + ",".join(f"{1e3 * ph[c]:.1f}"
-                                          for c in cols) + "\n")
+                                          for c in tcols) + "\n")
+
+    # ---- PE benchmark (the BASELINE.json metric shape: 150bp PE) ----
+    fq1, fq2 = prefix + ".pe_1.fq", prefix + ".pe_2.fq"
+    pe_base = cpu_baseline(prefix, fa, fq1, fq2=fq2,
+                           n_reads=2 * PE_PAIRS, tag="_pe150")
+    from bwamem_tpu.io.fastq import interleave
+    pe_reads = list(interleave(read_fastx(fq1), read_fastx(fq2)))
+    pe_reads = pe_reads[: (len(pe_reads) // BATCH) * BATCH]
+    done = 0
+    for b in batches(iter(pe_reads), BATCH):     # warmup/compile pass
+        al.align_batch_pe(b, done)
+        done += len(b)
+    t0 = time.perf_counter()
+    done = 0
+    for n, out in align_stream(al, batches(iter(pe_reads), BATCH), pe=True):
+        done += n
+    pe_dt = time.perf_counter() - t0
+    pe_rps = done / pe_dt
 
     nthreads = os.cpu_count() or 1
     base_tn = (cpu_baseline(prefix, fa, fq, nthreads) if nthreads > 1
@@ -147,7 +180,14 @@ def main():
         "vs_baseline": round(rps / base_rps, 3),
         "vs_cpu_tN": round(rps / base_tn, 3),
         "cpu_threads_N": nthreads,
-        "stage_ms": {c: round(1e3 * ph[c], 1) for c in cols},
+        "pe": {
+            "metric": "reads_per_sec_pe_150bp_5Mbp",
+            "value": round(pe_rps, 2),
+            "vs_baseline": round(pe_rps / pe_base, 3),
+        },
+        "stage_ms": {c: round(1e3 * ph[c], 1) for c in tcols},
+        "dispatches_per_batch": counts,
+        "d2h_mb_per_batch": mbs,
     }))
 
 

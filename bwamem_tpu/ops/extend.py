@@ -66,9 +66,14 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     B, LQ = query.shape
     L1 = LQ + 1
     i32 = jnp.int32
-    # (h << 12) | col packing in the row reduction needs col < 2^12 and
-    # score < 2^18; reads beyond 4kb would need a wider encoding
-    assert LQ <= 4096, "extend_batch: query window > 4096 not supported"
+    # (h << SH) | col packing in the row reduction: SH = 12 keeps the
+    # historical encoding (col < 2^12, score < 2^(31-12)) for short reads;
+    # longer queries widen the column field, shrinking the score headroom
+    # (score <= LQ*max_mat + end_bonus stays far below 2^(31-SH) for any
+    # real scoring scheme — callers enforce it, extend_host.submit)
+    SH = max(12, int(LQ).bit_length())
+    CMASK = (1 << SH) - 1
+    assert LQ <= CMASK, (LQ, SH)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     max_mat = int(np.max(np.asarray(mat)))
@@ -137,12 +142,12 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         # (h at column end-1): every standalone reduce/gather is a fusion
         # barrier with a large flat per-iteration cost on this backend, and
         # the per-lane h[end-1] gather was the single hottest op of the loop
-        mj_enc = (h << 12) | col                       # h < 2^18, col < 2^12
+        mj_enc = (h << SH) | col                # h < 2^(31-SH), col <= CMASK
         h1_enc = jnp.where(col == (end - 1)[:, None], h, NEG)
         packed = jnp.stack([mj_enc, h1_enc], axis=1)   # [B, 2, LQ]
         red = packed.max(axis=2)                       # [B, 2]
-        m = red[:, 0] >> 12
-        mj = jnp.where(m > 0, red[:, 0] & 0xFFF,
+        m = red[:, 0] >> SH
+        mj = jnp.where(m > 0, red[:, 0] & CMASK,
                        jnp.where(end > beg, end - 1, -1))
 
         # E update (ksw.c:439-443)

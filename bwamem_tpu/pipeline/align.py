@@ -123,6 +123,7 @@ class Aligner:
                 gfn = pmesh.rowmap(self.mesh, global_sw.global_align_batch,
                                    tuple(sorted(statics.items())),
                                    (False,) * 5 + (True,))
+            timers.count("dispatch.global_sw")
             res = gfn(
                 jnp.asarray(qc), jnp.asarray(np.pad(qlen[sl], (0, pad),
                                                     constant_values=1)),
@@ -162,6 +163,7 @@ class Aligner:
                 kfn = pmesh.rowmap(self.mesh, local_sw.ksw_align_batch,
                                    tuple(sorted(statics.items())),
                                    (False,) * 5 + (True,))
+            timers.count("dispatch.local_sw")
             res = kfn(
                 jnp.asarray(qc),
                 jnp.asarray(np.pad(qlen[sl], (0, Bp - c),
@@ -189,13 +191,6 @@ class Aligner:
         support (mesh) run the host-compacted path."""
         from bwamem_tpu.pipeline import device_front
         n = len(reads)
-        for r in reads:
-            if r.l_seq > 4096:
-                # extension windows are full read prefixes/suffixes and the
-                # packed row reduction caps scores at 2^18 (ops/extend.py)
-                raise ValueError(
-                    f"read {r.name!r} is {r.l_seq}bp; reads over 4096bp "
-                    "are not supported by the extension kernel")
         N = _bucket(n, lo=8)
         L = _bucket(max(r.l_seq for r in reads), lo=32)
         seq, l_seq = pack_batch(reads, N, L)
@@ -210,13 +205,14 @@ class Aligner:
                     out[i] = sub_regs[gi]
         else:
             out = self._regs_host_front(reads, seq=seq, l_seq=l_seq)
-        for i in range(n):
-            ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
-                                      reads[i].seq, out[i])
-            for r in ri:
-                if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
-                    r.is_alt = 1
-            out[i] = ri
+        with timers.section("dedup.batch"):
+            for i in range(n):
+                ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
+                                          reads[i].seq, out[i])
+                for r in ri:
+                    if r.rid >= 0 and self.ctg_is_alt_np[r.rid]:
+                        r.is_alt = 1
+                out[i] = ri
         return out
 
     def _regs_host_front(self, reads: list[Read], seq=None, l_seq=None):
@@ -348,19 +344,22 @@ class Aligner:
         with timers.section("mark.batch"):
             fin.mark_primary_many(
                 opt, all_regs, [n_processed + i for i in range(len(reads))])
-        for i, regs in enumerate(all_regs):
-            if opt.flag & MEM_F_PRIMARY5:
-                fin.reorder_primary5(opt, regs)
-            xa_jobs.append(self._phaseA_gen_alt(regs, reads[i], jobs))
-            sel.append(self._phaseA_reg2sam(regs, reads[i], jobs))
-        fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
-                           self._device_global)
+        with timers.section("select.batch"):
+            for i, regs in enumerate(all_regs):
+                if opt.flag & MEM_F_PRIMARY5:
+                    fin.reorder_primary5(opt, regs)
+                xa_jobs.append(self._phaseA_gen_alt(regs, reads[i], jobs))
+                sel.append(self._phaseA_reg2sam(regs, reads[i], jobs))
+        with timers.section("cigar.jobs"):
+            fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
+                               self._device_global)
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
         idxs = []
-        for i, regs in enumerate(all_regs):
-            xa = self._xa_strings(xa_jobs[i], jobs)
-            idxs.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
-                                             jobs, 0, None, sb))
+        with timers.section("phaseC.batch"):
+            for i, regs in enumerate(all_regs):
+                xa = self._xa_strings(xa_jobs[i], jobs)
+                idxs.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
+                                                 jobs, 0, None, sb))
         with timers.section("sam.render"):
             lines = sb.render()
         return ["".join(lines[j] for j in ix) for ix in idxs]

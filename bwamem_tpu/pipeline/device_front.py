@@ -737,6 +737,7 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
               pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
               use_pl=not _shapes._is_cpu())
 
+    timers.count("dispatch.front", 6)
     sec1, m1 = _p1_jit(al.fm, seq_dev, l_dev, **s1)
     sec2, m2 = _p2_jit(al.fm, seq_dev, l_dev, sec1, m1[0], **s2)
     sec3, m3 = _p3_jit(al.fm, seq_dev, l_dev, **s3)

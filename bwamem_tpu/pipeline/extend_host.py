@@ -323,20 +323,49 @@ class _ExtBatcher:
                                  (True, True, True, "ax1"),
                                  stacked_out=True)
                 return f(*args)
-        # the (h << 12) | col row-reduction packing in extend_batch needs
-        # every reachable score < 2^18; enforce with the concrete inputs
-        # instead of trusting the LQ <= 4096 shape assert alone
+        # long-read lanes: the Mosaic kernel's (h << 12) | col packing and
+        # L1p VMEM rows cap queries at 4095 and scores at 2^18; route wider
+        # lanes through the XLA extend (whose packing shift widens with LQ,
+        # ops/extend.py SH) — this is the mem long-read path
+        # (bwamem.c:730-741 handles arbitrary lengths; >4kb reads used to
+        # be rejected here)
         max_mat = int(np.max(np.asarray(self.mat)))
-        hi = int(h0.max()) if M else 0
-        if hi + int(qlen.max() if M else 0) * max_mat >= (1 << 18):
-            raise ValueError(
-                "extension score bound exceeded: h0_max=%d + LQ*max_mat=%d "
-                ">= 2^18; lower -A or split the read" %
-                (hi, int(qlen.max()) * max_mat))
+        need = h0.astype(np.int64) + qlen.astype(np.int64) * max_mat
+        long_sel = (qlen > 4095) | (need >= (1 << 18))
+        if long_sel.any():
+            lqb = _bucket(int(qlen[long_sel].max()), lo=16)
+            sh = max(12, int(lqb).bit_length())
+            if int(need[long_sel].max()) >= (1 << (31 - sh)):
+                raise ValueError(
+                    "extension score bound exceeded even for the widened "
+                    "packing: %d >= 2^%d; lower -A" %
+                    (int(need.max()), 31 - sh))
+            xla_fn = _extend_flat_fn(
+                np.asarray(self.mat, np.int8).tobytes(), self.opt.o_del,
+                self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                self.opt.zdrop)
+            idx = np.nonzero(long_sel)[0]
+            B = _shapes.lanes(idx.size, fine_lo=8, coarse_lo=8)
+            LT = _bucket(max(int(tlen[idx].max()), 1), lo=16)
+            packed = np.zeros((10, B), np.int64)
+            packed[2, idx.size:] = 1
+            packed[5, idx.size:] = 1
+            packed[7, idx.size:] = 1
+            packed[8, idx.size:] = self.opt.w
+            packed[9] = self.end_bonus
+            for r_, a in enumerate((lane_read, q_start, q_sign, qlen,
+                                    t_start, t_sign, tlen, h0, w)):
+                packed[r_, : idx.size] = a[idx]
+            timers.count("dispatch.extend_long")
+            res = xla_fn(self.pac_dev, self.l_pac, self.seq_dev,
+                         jnp.asarray(packed), lq_max=lqb, t_max=LT)
+            plan["parts"].append((idx, res))
+        elig = ~long_sel
         # size classes by target length (the while_loop row count)
         classes = [64, 256, max(1024, _bucket(int(tlen.max()) if M else 1))]
-        lq_fixed = _bucket(max(int(qlen.max()), 1), lo=16)
-        assigned = np.zeros(M, bool)
+        lq_fixed = _bucket(max(int(qlen[elig].max()) if elig.any() else 1,
+                               1), lo=16)
+        assigned = ~elig
         for tcap in classes:
             sel = (~assigned) & (tlen <= tcap)
             assigned |= sel
@@ -372,6 +401,7 @@ class _ExtBatcher:
                 for r_, a in enumerate((lane_read, q_start, q_sign, qlen,
                                         t_start, t_sign, tlen, h0, w)):
                     packed[r_, : idx.size] = a[idx]
+                timers.count("dispatch.extend")
                 res = fn(self.pac_dev, self.l_pac, self.seq_dev,
                          jnp.asarray(packed),
                          lq_max=LQ, t_max=LT)      # [6, B] stacked
@@ -481,6 +511,7 @@ def _extend_both_fused(al, opt, mat, seq_dev, ii, s_qb, s_len, s_rb, rmax0,
             for r_, a_ in enumerate((ii, s_qb, s_len, s_rb, rmax0, rmax1,
                                      l_seq)):
                 packed[r_, : idx.size] = a_[idx]
+            timers.count("dispatch.extend_fused")
             res = fn(al.fm.pac, al.l_pac, seq_dev,
                      jnp.asarray(packed), lq_max=lq_fixed, t_max=tcap)
             try:
@@ -546,7 +577,11 @@ def extend_regions(al, reads, seq: np.ndarray, wr) -> list[list[AlnReg]]:
     h0 = np.maximum(s_len * opt.a, 1).astype(np.int32)
     neg1 = np.full(M, -1, np.int64)
     mesh = getattr(al, "mesh", None)
-    fused = (not _shapes._is_cpu()) or _PL_INTERPRET
+    # the Mosaic kernel holds eh rows in VMEM and packs (h<<12)|col —
+    # queries beyond 4095 take the side path, whose _ExtBatcher routes
+    # oversized lanes through the width-adaptive XLA extend (long reads)
+    fused = ((not _shapes._is_cpu()) or _PL_INTERPRET) and \
+        int(l_seq.max() if M else 0) <= 4095
     if fused:
         # ONE dispatch per lane tile covers left + retry + right + retry
         with timers.section("ext.fused"):

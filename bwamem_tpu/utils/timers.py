@@ -19,6 +19,7 @@ from contextlib import contextmanager
 _enabled = bool(int(os.environ.get("BWAMEM_TPU_TIMERS", "0") or 0))
 _acc: dict[str, list] = defaultdict(lambda: [0, 0.0])   # name -> [n, secs]
 _bytes: dict[str, list] = defaultdict(lambda: [0, 0])   # name -> [n, bytes]
+_counts: dict[str, int] = defaultdict(int)              # name -> count
 
 
 def enable(on: bool = True) -> None:
@@ -33,6 +34,7 @@ def enabled() -> bool:
 def reset() -> None:
     _acc.clear()
     _bytes.clear()
+    _counts.clear()
 
 
 @contextmanager
@@ -63,6 +65,15 @@ def add_bytes(name: str, nbytes: int) -> None:
         b[1] += int(nbytes)
 
 
+def count(name: str, k: int = 1) -> None:
+    """Event counter — used to track device-program dispatches per batch
+    (the reference prints per-kernel launch timings; on this backend the
+    launch+fetch round-trip is the scarce resource, so the COUNT is the
+    headline number)."""
+    if _enabled:
+        _counts[name] += int(k)
+
+
 def report() -> str:
     rows = []
     for name in sorted(_acc):
@@ -73,10 +84,13 @@ def report() -> str:
         n, b = _bytes[name]
         rows.append(f"{name:<32} n={n:<6} total={b / 1e6:9.2f} MB   "
                     f"avg={b / max(n, 1) / 1e3:8.1f} KB")
+    for name in sorted(_counts):
+        rows.append(f"{name:<32} count={_counts[name]}")
     return "\n".join(rows)
 
 
 def snapshot() -> dict:
     out = {k: tuple(v) for k, v in _acc.items()}
     out.update({k + ".bytes": tuple(v) for k, v in _bytes.items()})
+    out.update({k + ".count": _counts[k] for k in _counts})
     return out
