@@ -40,7 +40,10 @@ work.
 from __future__ import annotations
 
 import functools
+import json
 import math
+import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -535,12 +538,57 @@ _GROW2 = ("pmax", "cand2", "k2max", "e2max")  # bits 3..6 of p2 flags
 _GROW3 = ("p3cap", "e3max")                   # bits 7..8 of p3 flags
 
 
+def _hist_path(al) -> str | None:
+    """On-disk location of the arena high-water history.  Compiles on this
+    backend cost ~60s per program, and every arena growth is a new static
+    shape — so the grow-and-retry walk from cold defaults costs MINUTES per
+    process.  Persisting the converged sizes beside the XLA compilation
+    cache makes every later process start at the final shapes and hit the
+    persistent executable cache directly."""
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not d:
+        return None
+    fp = (f"{int(np.asarray(al.fm.seq_len))}-"
+          f"{int(np.asarray(al.fm.primary))}-{len(al.ctg_names)}-"
+          f"{jax.default_backend()}")
+    return os.path.join(d, f"front_hwm_{fp}.json")
+
+
+def _hist_load(al) -> dict:
+    hist = {}
+    path = _hist_path(al)
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                for k, v in json.load(f).items():
+                    name, n = k.rsplit(":", 1)
+                    hist[("hwm", name, int(n))] = int(v)
+        except Exception:
+            pass
+    return hist
+
+
+def _hist_save(al, hist: dict) -> None:
+    path = _hist_path(al)
+    if not path:
+        return
+    try:
+        data = {f"{k[1]}:{k[2]}": int(v) for k, v in hist.items()
+                if isinstance(k, tuple) and k[0] == "hwm"}
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def _sizes_for(al, N: int, Lr: int):
     """Arena sizes from the per-aligner high-water history (25% headroom),
     falling back to shape-scaled defaults on the first batch."""
     hist = getattr(al, "_front_hist", None)
     if hist is None:
-        hist = al._front_hist = {}
+        hist = al._front_hist = _hist_load(al)
     defaults = {
         "cap": 2 * Lr,
         "kmax": _bucket(N * 16, lo=1024),
@@ -569,9 +617,13 @@ def _sizes_for(al, N: int, Lr: int):
 
 
 def _note_hwm(hist, N, **vals):
+    changed = False
     for k, v in vals.items():
         key = ("hwm", k, N)
-        hist[key] = max(hist.get(key, 0), int(v))
+        if int(v) > hist.get(key, 0):
+            hist[key] = int(v)
+            changed = True
+    return changed
 
 
 def gate_rows(opt: MemOptions, reads) -> set:
@@ -688,11 +740,12 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                              + c_pos.nbytes + scl.nbytes + meta_all.nbytes)
         break
 
-    _note_hwm(hist, N, cap=m1[2], kmax=m1[3], emax=m1[4],
-              pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
-              p3cap=m3[2], e3max=m3[3],
-              a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
-              t_span=m5[6])
+    if _note_hwm(hist, N, cap=m1[2], kmax=m1[3], emax=m1[4],
+                 pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
+                 p3cap=m3[2], e3max=m3[3],
+                 a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
+                 t_span=m5[6]):
+        _hist_save(al, hist)
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
 
