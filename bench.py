@@ -121,9 +121,13 @@ def main():
     # data-dependent, and this backend cannot cache executables across
     # processes, so the warmup must visit every shape the timed pass sees
     done = 0
+    t_w = time.perf_counter()
     for b in batches(iter(reads), BATCH):
         al.align_batch_se(b, done)
         done += len(b)
+        print(f"[bench] SE warmup {done}/{len(reads)} "
+              f"({time.perf_counter() - t_w:.0f}s)", file=sys.stderr,
+              flush=True)
 
     from bwamem_tpu.utils import timers
     timers.reset()
@@ -160,9 +164,13 @@ def main():
     pe_reads = list(interleave(read_fastx(fq1), read_fastx(fq2)))
     pe_reads = pe_reads[: (len(pe_reads) // BATCH) * BATCH]
     done = 0
+    t_w = time.perf_counter()
     for b in batches(iter(pe_reads), BATCH):     # warmup/compile pass
         al.align_batch_pe(b, done)
         done += len(b)
+        print(f"[bench] PE warmup {done}/{len(pe_reads)} "
+              f"({time.perf_counter() - t_w:.0f}s)", file=sys.stderr,
+              flush=True)
     t0 = time.perf_counter()
     done = 0
     for n, out in align_stream(al, batches(iter(pe_reads), BATCH), pe=True):
