@@ -183,8 +183,11 @@ def extend(fm: FM, x0, x1, x2, is_back: bool):
     it = fm.L2.dtype
     p = x0 if is_back else x1
     other = x1 if is_back else x0
-    tk = occ4(fm, p - 1)
-    tl = occ4(fm, p - 1 + x2)
+    # ONE stacked gather for both occ4 queries: on the target backend the
+    # per-gather-op cost (~74us at 8K lanes) dwarfs the extra row's data,
+    # so halving the op count nearly halves the extend step
+    tkl = occ4(fm, jnp.stack([p - 1, p - 1 + x2]))
+    tk, tl = tkl[0], tkl[1]
     ns = tl - tk
     crosses = ((p <= fm.primary) & (p + x2 - 1 >= fm.primary)).astype(it)
     o3 = other + crosses

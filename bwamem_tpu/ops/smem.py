@@ -142,15 +142,16 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
 
     zero_i = jnp.zeros((N,), jnp.int32)
     zero_t = jnp.zeros((N,), it)
+    # one packed candidate buffer (x0, x1, x2, end, pivot stacked on the
+    # minor dim) so each push is ONE scatter op instead of five — the
+    # per-scatter-op cost dominates on the target backend
     state = dict(
         phase=jnp.where(start < l_seq, 0, 2).astype(jnp.int32),
         x=start.astype(jnp.int32),
         i=zero_i,
         ik0=zero_t, ik1=zero_t, ik2=zero_t,
         ik_end=zero_i,
-        c_x0=jnp.zeros((N, cap), it), c_x1=jnp.zeros((N, cap), it),
-        c_x2=jnp.zeros((N, cap), it), c_end=jnp.zeros((N, cap), jnp.int32),
-        c_pivot=jnp.zeros((N, cap), jnp.int32),
+        cbuf=jnp.zeros((N, cap, 5), it),
         n=zero_i, overflow=jnp.zeros((N,), bool),
     )
     if pre is not None:
@@ -180,9 +181,14 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         phase, x, i = st["phase"], st["x"], st["i"]
         ik0, ik1, ik2, ik_end = st["ik0"], st["ik1"], st["ik2"], st["ik_end"]
 
-        # ---- phase 0: initialize a pivot ----
+        # phases 0 and 1 are mutually exclusive per lane, so ONE seq gather
+        # serves both the pivot base q[x] (init) and the step base q[i]
         init = phase == 0
-        qx = seq_at(x)
+        ext = phase == 1
+        q_at = seq_at(jnp.where(init, x, i))
+
+        # ---- phase 0: initialize a pivot ----
+        qx = q_at
         init_amb = init & (qx >= 4)
         init_ok = init & (qx < 4)
         s0, s1, s2 = fmops.set_intv(fm, jnp.clip(qx, 0, 3))
@@ -195,11 +201,9 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         x = jnp.where(init_amb, x + 1, x)
         phase = jnp.where(init_ok, 1, phase)
         phase = jnp.where(init_amb & (x >= l_seq), 2, phase)
-        # an init lane does not also extend this step
-        ext = (st["phase"] == 1)
 
         # ---- phase 1: one forward extension step at position i ----
-        qi = seq_at(i)
+        qi = q_at
         at_end = ext & (i >= l_seq)
         amb = ext & (i < l_seq) & (qi >= 4)
         do_ext = ext & (i < l_seq) & (qi < 4)
@@ -213,13 +217,11 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         push = at_end | amb | size_change
         finish = at_end | amb | too_small
 
-        # ---- record candidate ----
+        # ---- record candidate (one packed scatter) ----
         slot = jnp.where(push & (st["n"] < cap), st["n"], cap)
-        c_x0 = st["c_x0"].at[rows, slot].set(ik0, mode="drop")
-        c_x1 = st["c_x1"].at[rows, slot].set(ik1, mode="drop")
-        c_x2 = st["c_x2"].at[rows, slot].set(ik2, mode="drop")
-        c_end = st["c_end"].at[rows, slot].set(ik_end, mode="drop")
-        c_pivot = st["c_pivot"].at[rows, slot].set(st["x"], mode="drop")
+        vals = jnp.stack([ik0, ik1, ik2, ik_end.astype(it),
+                          st["x"].astype(it)], axis=-1)
+        cbuf = st["cbuf"].at[rows, slot, :].set(vals, mode="drop")
         n = st["n"] + (push & (st["n"] < cap)).astype(jnp.int32)
         overflow = st["overflow"] | (push & (st["n"] >= cap))
 
@@ -238,13 +240,15 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
             phase = jnp.where(finish, 2, phase)
 
         return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
-                    ik_end=ik_end, c_x0=c_x0, c_x1=c_x1, c_x2=c_x2,
-                    c_end=c_end, c_pivot=c_pivot, n=n, overflow=overflow)
+                    ik_end=ik_end, cbuf=cbuf, n=n, overflow=overflow)
 
     st_min_intv = min_intv.astype(it)
     st = jax.lax.while_loop(cond, body, state)
-    return Candidates(st["c_x0"], st["c_x1"], st["c_x2"], st["c_end"],
-                      st["c_pivot"], st["n"], st["overflow"])
+    cb = st["cbuf"]
+    return Candidates(cb[:, :, 0], cb[:, :, 1], cb[:, :, 2],
+                      cb[:, :, 3].astype(jnp.int32),
+                      cb[:, :, 4].astype(jnp.int32), st["n"],
+                      st["overflow"])
 
 
 def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
@@ -266,25 +270,33 @@ def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
 
 
 def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
-                     pivot: jax.Array, x0, x1, x2, min_intv, valid):
+                     pivot: jax.Array, x0, x1, x2, min_intv, valid,
+                     stage_w: tuple = (), k_stage: int = 4):
     """Compact-lane backward extension: lanes [M] each carrying (read row,
-    pivot, interval, min size).  Returns (s, x0, x2)."""
+    pivot, interval, min size).  Returns (s, x0, x2) — plus an overflow
+    flag when `stage_w` is given.
+
+    `stage_w`: static tuple of shrinking arena widths.  Candidate lifetimes
+    are heavily front-loaded (measured on 101bp reads: median 6 left steps,
+    p90 = 10, 2.7% past 12, max ~50), but a lockstep while_loop pays the
+    per-gather-index cost for EVERY lane until the LAST one dies — on the
+    target backend a gather costs ~0.3 ms + ~10 ns per index, so dead lanes
+    dominate.  After every `k_stage` steps the alive lanes are compacted
+    into the next (smaller) arena; lanes that no longer fit set the
+    overflow flag (the caller grows the width ladder and retries — same
+    contract as every other arena here).  Dead lanes' results are scattered
+    back to their original slots at each compaction."""
     L = seq.shape[1]
-    mi = min_intv.astype(fm.L2.dtype)
+    it = fm.L2.dtype
+    M = lane_read.shape[0]
+    mi = min_intv.astype(it)
     i = pivot - 1
     alive = valid
     s = pivot.astype(jnp.int32)
 
-    def seq_at(pos):
-        p = jnp.clip(pos, 0, L - 1)
-        return jnp.where(pos >= 0, seq[lane_read, p].astype(jnp.int32), 4)
-
-    def cond(st):
-        return jnp.any(st[0])
-
-    def body(st):
-        alive, i, s, x0, x1, x2 = st
-        qi = seq_at(i)
+    def step(alive, i, s, x0, x1, x2, mi, lr):
+        p = jnp.clip(i, 0, L - 1)
+        qi = jnp.where(i >= 0, seq[lr, p].astype(jnp.int32), 4)
         n0, n1, ns = fmops.extend(fm, x0, x1, x2, is_back=True)
         c = jnp.clip(qi, 0, 3)
         e0 = fmops._select4(n0, c)
@@ -299,9 +311,60 @@ def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
         i = jnp.where(ok, i - 1, i)
         return ok, i, s, x0, x1, x2
 
+    if not stage_w:
+        def cond(st):
+            return jnp.any(st[0])
+
+        def body(st):
+            return step(*st, mi, lane_read)
+
+        alive, i, s, x0, x1, x2 = jax.lax.while_loop(
+            cond, body, (alive, i, s, x0, x1, x2))
+        return s, x0, x2
+
+    from bwamem_tpu.pipeline.seeding_host import _compact_flat
+    i32 = jnp.int32
+    out_s = s
+    out_x0 = x0
+    out_x2 = x2
+    orig = jnp.arange(M, dtype=i32)
+    lr = lane_read.astype(i32)
+    over = jnp.zeros((), bool)
+    # `need`: the smallest stage_w[0] that would have fit every stage's
+    # survivors under the same halving ladder — the hwm the caller records
+    need = jnp.zeros((), i32)
+    for j, w in enumerate(stage_w):
+        def kbody(_, st):
+            return step(*st[:6], st[6], st[7]) + (st[6], st[7])
+
+        alive, i, s, x0, x1, x2 = jax.lax.fori_loop(
+            0, k_stage, kbody, (alive, i, s, x0, x1, x2, mi, lr))[:6]
+        # write back every lane's current result (final for dead lanes;
+        # alive lanes get overwritten after later stages)
+        out_s = out_s.at[orig].set(s, mode="drop")
+        out_x0 = out_x0.at[orig].set(x0, mode="drop")
+        out_x2 = out_x2.at[orig].set(x2, mode="drop")
+        (i, s, x0, x1, x2, mi, lr, orig), n_al, o, _ = _compact_flat(
+            alive, [(i, i32), (s, i32), (x0, it), (x1, it), (x2, it),
+                    (mi, it), (lr, i32), (orig, i32)], w)
+        over = over | o
+        need = jnp.maximum(need, n_al.astype(i32) << j)
+        lane_w = jnp.arange(w, dtype=i32)
+        alive = lane_w < jnp.minimum(n_al, w)
+        orig = jnp.where(alive, orig, M)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        return step(*st[:6], mi, lr)
+
     alive, i, s, x0, x1, x2 = jax.lax.while_loop(
         cond, body, (alive, i, s, x0, x1, x2))
-    return s, x0, x2
+    out_s = out_s.at[orig].set(s, mode="drop")
+    out_x0 = out_x0.at[orig].set(x0, mode="drop")
+    out_x2 = out_x2.at[orig].set(x2, mode="drop")
+    return out_s, out_x0, out_x2, over, need
 
 
 def emit_mask(cand: Candidates, s: jax.Array) -> jax.Array:
@@ -350,9 +413,7 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         phase=jnp.where(l_seq > 0, 0, 2).astype(jnp.int32),
         x=jnp.zeros((N,), jnp.int32), i=jnp.zeros((N,), jnp.int32),
         ik0=zero_t, ik1=zero_t, ik2=zero_t,
-        o_x0=jnp.zeros((N, cap), it), o_x2=jnp.zeros((N, cap), it),
-        o_start=jnp.zeros((N, cap), jnp.int32),
-        o_end=jnp.zeros((N, cap), jnp.int32),
+        obuf=jnp.zeros((N, cap, 4), it),
         n=jnp.zeros((N,), jnp.int32), overflow=jnp.zeros((N,), bool),
     )
 
@@ -364,7 +425,9 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         ik0, ik1, ik2 = st["ik0"], st["ik1"], st["ik2"]
 
         init = phase == 0
-        qx = seq_at(x)
+        ext_pre = phase == 1
+        q_at = seq_at(jnp.where(init, x, i))   # phases exclusive: 1 gather
+        qx = q_at
         init_amb = init & (qx >= 4)
         init_ok = init & (qx < 4)
         s0, s1, s2 = fmops.set_intv(fm, jnp.clip(qx, 0, 3))
@@ -385,8 +448,8 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         phase = jnp.where(init_ok, 1, phase)
         phase = jnp.where((phase == 0) & (x >= l_seq), 2, phase)
 
-        ext = st["phase"] == 1
-        qi = seq_at(i)
+        ext = ext_pre
+        qi = q_at
         at_end = ext & (i >= l_seq)            # return len, no emit
         amb = ext & (i < l_seq) & (qi >= 4)    # return i+1, no emit
         do_ext = ext & (i < l_seq) & (qi < 4)
@@ -399,10 +462,9 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         emit = hit & (e2 > 0)
 
         slot = jnp.where(emit & (st["n"] < cap), st["n"], cap)
-        o_x0 = st["o_x0"].at[rows, slot].set(e0, mode="drop")
-        o_x2 = st["o_x2"].at[rows, slot].set(e2, mode="drop")
-        o_start = st["o_start"].at[rows, slot].set(x, mode="drop")
-        o_end = st["o_end"].at[rows, slot].set(i + 1, mode="drop")
+        vals = jnp.stack([e0, e2, x.astype(it), (i + 1).astype(it)],
+                         axis=-1)
+        obuf = st["obuf"].at[rows, slot, :].set(vals, mode="drop")
         n = st["n"] + (emit & (st["n"] < cap)).astype(jnp.int32)
         overflow = st["overflow"] | (emit & (st["n"] >= cap))
 
@@ -418,11 +480,12 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         phase = jnp.where(finish, jnp.where(at_end | (x >= l_seq), 2, 0),
                           phase)
         return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
-                    o_x0=o_x0, o_x2=o_x2, o_start=o_start, o_end=o_end,
-                    n=n, overflow=overflow)
+                    obuf=obuf, n=n, overflow=overflow)
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["o_x0"], st["o_x2"], st["o_start"], st["o_end"], st["n"], st["overflow"]
+    ob = st["obuf"]
+    return (ob[:, :, 0], ob[:, :, 1], ob[:, :, 2].astype(jnp.int32),
+            ob[:, :, 3].astype(jnp.int32), st["n"], st["overflow"])
 
 
 class Intervals(NamedTuple):

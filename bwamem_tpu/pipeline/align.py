@@ -180,7 +180,25 @@ class Aligner:
 
     # ------------------------------------------------ shared host phases
 
-    def _regs_from_device(self, reads: list[Read]) -> list[list[fin.AlnReg]]:
+    def begin_batch(self, reads: list[Read]) -> dict:
+        """Pack a batch and (when supported) DISPATCH its device front
+        without fetching.  The returned token feeds align_batch_se/pe's
+        `_front` parameter; align_stream calls this for batch k+1 right
+        after batch k's last device work so the chip computes ahead."""
+        from bwamem_tpu.pipeline import device_front
+        n = len(reads)
+        N = _bucket(n, lo=8)
+        L = _bucket(max(r.l_seq for r in reads), lo=32)
+        seq, l_seq = pack_batch(reads, N, L)
+        tok = None
+        if (device_front.supported(self, reads)
+                and os.environ.get("BWAMEM_TPU_FRONT") != "host"):
+            tok = device_front.front_start(self, reads, seq, l_seq)
+        return dict(seq=seq, l_seq=l_seq, tok=tok)
+
+    def _regs_from_device(self, reads: list[Read],
+                          front: dict | None = None
+                          ) -> list[list[fin.AlnReg]]:
         """Device front half + flat speculative extension + the tail of
         mem_align1_core (dedup + is_alt, bwamem.c:1083-1095).  Returns
         per-read reg lists, pre-mark_primary.
@@ -191,13 +209,11 @@ class Aligner:
         support (mesh) run the host-compacted path."""
         from bwamem_tpu.pipeline import device_front
         n = len(reads)
-        N = _bucket(n, lo=8)
-        L = _bucket(max(r.l_seq for r in reads), lo=32)
-        seq, l_seq = pack_batch(reads, N, L)
-        use_device_front = (device_front.supported(self, reads)
-                            and os.environ.get("BWAMEM_TPU_FRONT") != "host")
-        if use_device_front:
-            out, fb_rows = device_front.front_ext(self, reads, seq, l_seq)
+        if front is None:
+            front = self.begin_batch(reads)
+        seq, l_seq = front["seq"], front["l_seq"]
+        if front["tok"] is not None:
+            out, fb_rows = device_front.front_finish(self, front["tok"])
             if fb_rows:
                 sub = [reads[i] for i in fb_rows]
                 sub_regs = self._regs_host_front(sub)
@@ -333,12 +349,19 @@ class Aligner:
     # ------------------------------------------------------------ SE batch
 
     def align_batch_se(self, reads: list[Read], n_processed: int = 0,
-                       rg_id: str | None = None) -> list[str]:
-        """Returns one SAM string (possibly multi-line) per read."""
+                       rg_id: str | None = None, *, _front: dict = None,
+                       _prefetch=None) -> list[str]:
+        """Returns one SAM string (possibly multi-line) per read.
+
+        `_front`: a begin_batch token for THIS batch (already dispatched);
+        `_prefetch`: a callable invoked right after this batch's last
+        device dispatch (the CIGAR jobs) — align_stream uses it to enqueue
+        the NEXT batch's front so the device never idles behind the host
+        finalization tail."""
         opt = self.opt
         if not reads:
             return []
-        all_regs = self._regs_from_device(reads)
+        all_regs = self._regs_from_device(reads, _front)
         jobs: list[fin.CigarJob] = []
         sel, xa_jobs = [], []
         with timers.section("mark.batch"):
@@ -353,6 +376,8 @@ class Aligner:
         with timers.section("cigar.jobs"):
             fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
                                self._device_global)
+        if _prefetch is not None:
+            _prefetch()
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
         idxs = []
         with timers.section("phaseC.batch"):
@@ -449,15 +474,17 @@ class Aligner:
 
     def align_batch_pe(self, reads: list[Read], n_processed: int = 0,
                        rg_id: str | None = None,
-                       pes0: dict | None = None) -> list[str]:
+                       pes0: dict | None = None, *, _front: dict = None,
+                       _prefetch=None) -> list[str]:
         """Paired-end batch (mem_sam_pe, bwamem_pair.c:278-419); reads are
-        interleaved R1,R2.  Returns one SAM string per read."""
+        interleaved R1,R2.  Returns one SAM string per read.
+        `_front`/`_prefetch`: see align_batch_se."""
         opt = self.opt
         if not reads:
             return []
         assert len(reads) % 2 == 0, "PE batch must be interleaved pairs"
         n_pairs = len(reads) // 2
-        all_regs = self._regs_from_device(reads)
+        all_regs = self._regs_from_device(reads, _front)
 
         if pes0 is not None:
             pes = pairmod.pes_from_spec(pes0)
@@ -596,8 +623,11 @@ class Aligner:
                             hjob=hjob, xa=xa, sel=sel)
             plans.append(plan)
 
-        fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
-                           self._device_global)
+        with timers.section("cigar.jobs"):
+            fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
+                               self._device_global)
+        if _prefetch is not None:
+            _prefetch()
 
         # phase C
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
@@ -657,32 +687,54 @@ class Aligner:
 def align_stream(al: Aligner, batch_iter, *, pe: bool = False,
                  rg_id: str | None = None, pes0: dict | None = None,
                  depth: int = 2):
-    """Pipelined batch driver — the reference's superbatch/minibatch triple
-    overlap (cuda/minibatch_process.cpp:196-208, std::async of input /
-    compute / output) as a thread pipeline: batch k+1's parse+front-half
-    runs while batch k finalizes and renders.  `batch_iter` yields lists of
-    Reads (the caller picks read-count or -K base-count chunking); yields
-    (n_reads, sam_list) per batch in input order."""
-    import concurrent.futures as cf
+    """Pipelined batch driver — the reference's input/compute/output
+    overlap (cuda/minibatch_process.cpp:196-208) recast for ONE device
+    stream and a possibly single-core host: a dispatch-ahead SERIAL loop.
 
-    def stage(batch, n_processed):
-        if pe:
-            return al.align_batch_pe(batch, n_processed, rg_id=rg_id,
-                                     pes0=pes0)
-        return al.align_batch_se(batch, n_processed, rg_id=rg_id)
+    Batch k+1's device front is ENQUEUED (begin_batch → front_start, no
+    fetch) immediately after batch k's last device work (the CIGAR batch),
+    so the chip computes batch k+1's seeding/chaining/extension while the
+    host runs batch k's finalization tail and SAM render.  JAX dispatch is
+    async, so no threads are needed — the round-3 two-thread variant lost
+    ~0.7 s/batch to GIL/core contention on 1-CPU hosts (two Python compute
+    phases cannot overlap on one core; the reference's std::async overlap
+    only ever hides transfer and disk, not host compute).
 
-    ex = cf.ThreadPoolExecutor(max_workers=depth)
-    pending = []
-    n_processed = 0
+    `batch_iter` yields lists of Reads (the caller picks read-count or -K
+    base-count chunking); yields (n_reads, sam_list) per batch in input
+    order.  `depth` is kept for API compatibility; the enqueue-ahead depth
+    is fixed at 1 batch (deeper would only grow device-queue latency).
+    """
+    it = iter(batch_iter)
     try:
-        for batch in batch_iter:
-            pending.append((len(batch),
-                            ex.submit(stage, batch, n_processed)))
-            n_processed += len(batch)
-            while len(pending) > depth:
-                n, fut = pending.pop(0)
-                yield n, fut.result()
-        for n, fut in pending:
-            yield n, fut.result()
-    finally:
-        ex.shutdown(wait=True)
+        cur = next(it)
+    except StopIteration:
+        return
+    n_processed = 0
+    front = al.begin_batch(cur)
+    while cur is not None:
+        try:
+            nxt = next(it)
+        except StopIteration:
+            nxt = None
+        holder = []
+        prefetch = None
+        if nxt is not None:
+            def prefetch(_b=nxt):
+                holder.append(al.begin_batch(_b))
+        if pe:
+            sams = al.align_batch_pe(cur, n_processed, rg_id=rg_id,
+                                     pes0=pes0, _front=front,
+                                     _prefetch=prefetch)
+        else:
+            sams = al.align_batch_se(cur, n_processed, rg_id=rg_id,
+                                     _front=front, _prefetch=prefetch)
+        yield len(cur), sams
+        n_processed += len(cur)
+        if nxt is None:
+            front = None
+        elif holder:
+            front = holder[0]
+        else:            # batch had no CIGAR phase (empty) — dispatch now
+            front = al.begin_batch(nxt)
+        cur = nxt

@@ -72,9 +72,18 @@ def _bucket(x: int, lo: int = 8) -> int:
 # P1: pass-1 SMEM scan (bwt_smem1a forward+backward over every pivot chain)
 # ---------------------------------------------------------------------------
 
+def _stage_ladder(base: int, width: int):
+    """Static halving arena ladder for back_extend_flat compaction; empty
+    for small batches (compaction overhead beats the win only at scale)."""
+    if width < 8192:
+        return ()
+    return tuple(max(base >> j, 512) for j in range(3))
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "kmax", "emax", "min_seed_len", "use_kmer"))
-def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer):
+    "cap", "kmax", "emax", "min_seed_len", "use_kmer", "b1s"))
+def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
+            b1s):
     N, L = seq.shape
     it = fm.L2.dtype
     i32 = jnp.int32
@@ -89,9 +98,17 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer):
         mask1, [(rows, i32), (c1.pivot, i32), (c1.x0, it), (c1.x1, it),
                 (c1.x2, it)], kmax)
     fvalid = jnp.arange(kmax, dtype=i32) < nk
-    s_f, x0_f, x2_f = smemops.back_extend_flat(
-        fm, seq, lane_read, pivot, fx0, fx1, fx2, jnp.ones((kmax,), it),
-        fvalid)
+    st1 = _stage_ladder(b1s, kmax)
+    if st1:
+        s_f, x0_f, x2_f, b1_over, b1_need = smemops.back_extend_flat(
+            fm, seq, lane_read, pivot, fx0, fx1, fx2, jnp.ones((kmax,), it),
+            fvalid, stage_w=st1)
+    else:
+        s_f, x0_f, x2_f = smemops.back_extend_flat(
+            fm, seq, lane_read, pivot, fx0, fx1, fx2, jnp.ones((kmax,), it),
+            fvalid)
+        b1_over = jnp.zeros((), bool)
+        b1_need = jnp.zeros((), i32)
     maskg = mask1.reshape(N, cap)
     back = jnp.where(maskg, jnp.minimum(pos1.reshape(N, cap), kmax - 1), 0)
     s_grid = jnp.where(maskg, s_f[back], 0)
@@ -104,10 +121,11 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer):
                             (x0_grid, it), (x2_grid, it)], emax)
     sec1 = jnp.stack([e_read, e_s, e_e, e_x0, e_x2])
     flags = (c1.overflow.any().astype(i32)
-             | (k_over.astype(i32) << 1) | (e_over.astype(i32) << 2))
+             | (k_over.astype(i32) << 1) | (e_over.astype(i32) << 2)
+             | (b1_over.astype(i32) << 9))
     meta = jnp.stack([n1.astype(i32), flags, c1.n.max().astype(i32),
                       nk.astype(i32), n1.astype(i32),
-                      jnp.zeros((), i32), jnp.zeros((), i32),
+                      b1_need, jnp.zeros((), i32),
                       jnp.zeros((), i32)])
     return sec1, meta
 
@@ -118,9 +136,9 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer):
 
 @functools.partial(jax.jit, static_argnames=(
     "pmax", "cand2", "k2max", "e2max", "min_seed_len", "split_len",
-    "split_width"))
+    "split_width", "b2s"))
 def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
-            min_seed_len, split_len, split_width):
+            min_seed_len, split_len, split_width, b2s):
     it = fm.L2.dtype
     i32 = jnp.int32
     emax = sec1.shape[1]
@@ -146,8 +164,15 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
         mask2, [(rows2, i32), (c2.pivot, i32), (c2.x0, it), (c2.x1, it),
                 (c2.x2, it), (min2g, it)], k2max)
     v2 = jnp.arange(k2max, dtype=i32) < nk2
-    s2f, x0f2, x2f2 = smemops.back_extend_flat(
-        fm, seq, lr2, pv2, bx0, bx1, bx2, mi2, v2)
+    st2 = _stage_ladder(b2s, k2max)
+    if st2:
+        s2f, x0f2, x2f2, b2_over, b2_need = smemops.back_extend_flat(
+            fm, seq, lr2, pv2, bx0, bx1, bx2, mi2, v2, stage_w=st2)
+    else:
+        s2f, x0f2, x2f2 = smemops.back_extend_flat(
+            fm, seq, lr2, pv2, bx0, bx1, bx2, mi2, v2)
+        b2_over = jnp.zeros((), bool)
+        b2_need = jnp.zeros((), i32)
     mask2g = mask2.reshape(pmax, cand2)
     back2 = jnp.where(mask2g,
                       jnp.minimum(pos2.reshape(pmax, cand2), k2max - 1), 0)
@@ -161,10 +186,11 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
                             (x0_2g, it), (x2_2g, it)], e2max)
     sec2 = jnp.stack([e2_read, e2_s, e2_e, e2_x0, e2_x2])
     flags = ((p_over.astype(i32) << 3) | (c2.overflow.any().astype(i32) << 4)
-             | (k2_over.astype(i32) << 5) | (e2_over.astype(i32) << 6))
+             | (k2_over.astype(i32) << 5) | (e2_over.astype(i32) << 6)
+             | (b2_over.astype(i32) << 10))
     meta = jnp.stack([n2.astype(i32), flags, n_par.astype(i32),
                       c2.n.max().astype(i32), nk2.astype(i32),
-                      n2.astype(i32), jnp.zeros((), i32),
+                      n2.astype(i32), b2_need,
                       jnp.zeros((), i32)])
     return sec2, meta
 
@@ -536,6 +562,7 @@ def _ext_jit(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
 _GROW1 = ("cap", "kmax", "emax")
 _GROW2 = ("pmax", "cand2", "k2max", "e2max")  # bits 3..6 of p2 flags
 _GROW3 = ("p3cap", "e3max")                   # bits 7..8 of p3 flags
+_GROWB = ("b1s", "b2s")                       # bits 9..10: back-ext ladders
 
 
 def _hist_path(al) -> str | None:
@@ -603,11 +630,13 @@ def _sizes_for(al, N: int, Lr: int):
         "s_cap": 64,
         "a_ch": _bucket(N * 4, lo=1024),
         "a_it": _bucket(N * 8, lo=1024),
+        "b1s": _bucket(N * 8, lo=1024),
+        "b2s": _bucket(N * 4, lo=1024),
     }
     floors = {"cap": 64, "kmax": 1024, "emax": 1024, "pmax": 256,
               "cand2": 16, "k2max": 1024, "e2max": 1024, "p3cap": 16,
               "e3max": 1024, "a_seed": 1024, "s_cap": 16, "a_ch": 1024,
-              "a_it": 1024}
+              "a_it": 1024, "b1s": 1024, "b2s": 1024}
     sizes = {}
     for k, d in defaults.items():
         h = hist.get(("hwm", k, N))
@@ -654,14 +683,13 @@ def supported(al, reads) -> bool:
     return 2 * Lr * max(al.opt.a, mat_max) < (1 << 18)
 
 
-def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
-    """Device front half + host exact-filter replay.
-
-    Returns (regs_out, fallback_rows): per-read AlnReg lists in
-    mem_chain2aln emission order (pre-dedup) for every read NOT in
-    fallback_rows; fallback rows (cap overflows, long reads entering
-    mem_flt_chained_seeds) must be re-run through the host-compacted path.
-    """
+def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
+    """Dispatch the device front for a batch WITHOUT fetching: packs + H2D,
+    enqueues the 6-program chain, starts the D2H copies, and returns an
+    opaque token for front_finish.  The split lets align_stream enqueue
+    batch k+1's front while the host finalizes batch k (the reference's
+    input/compute/output overlap, cuda/minibatch_process.cpp:196-208,
+    recast as async dispatch on one device stream)."""
     opt: MemOptions = al.opt
     n = len(reads)
     N, Lr = seq.shape
@@ -677,7 +705,7 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
         # mostly long-read batch: dispatching the device front first would
         # just burn device time (and giant-shape compiles) on rows that all
         # fall back anyway
-        return [[] for _ in range(n)], sorted(range(n))
+        return dict(abort=True, n=n)
 
     seq_dev = jnp.asarray(seq)
     l_dev = jnp.asarray(l_seq)
@@ -695,10 +723,36 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                               lo=128) if h_ts is not None \
         else _bucket(bound, lo=128)
 
+    with timers.section("front.dispatch"):
+        arrs = _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr)
+        for arr in arrs:
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+    return dict(abort=False, reads=reads, n=n, N=N, Lr=Lr, hist=hist,
+                sizes=sizes, use_kmer=use_kmer, fallback=fallback,
+                seq_dev=seq_dev, l_dev=l_dev, arrs=arrs)
+
+
+def front_finish(al, tok):
+    """Fetch + grow-and-retry + exact-filter replay for a front_start token.
+
+    Returns (regs_out, fallback_rows): per-read AlnReg lists in
+    mem_chain2aln emission order (pre-dedup) for every read NOT in
+    fallback_rows; fallback rows (cap overflows, long reads entering
+    mem_flt_chained_seeds) must be re-run through the host-compacted path.
+    """
+    if tok["abort"]:
+        n = tok["n"]
+        return [[] for _ in range(n)], sorted(range(n))
+    reads, n, N, Lr = tok["reads"], tok["n"], tok["N"], tok["Lr"]
+    hist, sizes, use_kmer = tok["hist"], tok["sizes"], tok["use_kmer"]
+    fallback = tok["fallback"]
+    seq_dev, l_dev = tok["seq_dev"], tok["l_dev"]
+    meta_all, out32, out_it, chain32, c_pos, scl = tok["arrs"]
+
     while True:
-        with timers.section("front.dispatch"):
-            meta_all, out32, out_it, chain32, c_pos, scl = _dispatch(
-                al, seq_dev, l_dev, sizes, use_kmer, N, Lr)
         with timers.section("front.fetch"):
             for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
                 try:
@@ -710,7 +764,7 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                                   for k in range(5))
             grow = []
             flags = int(m1[1]) | int(m2[1]) | int(m3[1])
-            for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3):
+            for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3 + _GROWB):
                 if (flags >> bit) & 1:
                     grow.append(name)
             if m4[0]:
@@ -729,6 +783,10 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                 for g in grow:
                     if g is not None:
                         sizes[g] *= 2
+                with timers.section("front.dispatch"):
+                    (meta_all, out32, out_it, chain32, c_pos,
+                     scl) = _dispatch(al, seq_dev, l_dev, sizes, use_kmer,
+                                      N, Lr)
                 continue
             out32 = np.asarray(out32)
             out_it = np.asarray(out_it)
@@ -744,7 +802,7 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                  pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
                  p3cap=m3[2], e3max=m3[3],
                  a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
-                 t_span=m5[6]):
+                 t_span=m5[6], b1s=m1[5], b2s=m2[6]):
         _hist_save(al, hist)
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
@@ -764,15 +822,22 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     return regs_out, sorted(fallback)
 
 
+def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
+    """Device front half + host exact-filter replay (dispatch + finish)."""
+    return front_finish(al, front_start(al, reads, seq, l_seq))
+
+
 def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
     """Enqueue the device program chain; returns device arrays (no fetch)."""
     opt: MemOptions = al.opt
     s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
-              min_seed_len=opt.min_seed_len, use_kmer=use_kmer)
+              min_seed_len=opt.min_seed_len, use_kmer=use_kmer,
+              b1s=min(sizes["b1s"], sizes["kmax"]))
     s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
               k2max=sizes["k2max"], e2max=sizes["e2max"],
               min_seed_len=opt.min_seed_len, split_len=opt.split_len,
-              split_width=opt.split_width)
+              split_width=opt.split_width,
+              b2s=min(sizes["b2s"], sizes["k2max"]))
     s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
               min_seed_len=opt.min_seed_len,
               max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer)

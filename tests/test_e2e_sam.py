@@ -45,3 +45,24 @@ def test_sam_matches_cpu_bwa(oracle_sam, tiny_dataset, built_index):
                 first = (r.name, want, have)
     assert n_bad == 0, (
         f"{n_bad}/{len(reads)} reads differ; first: {first!r}")
+
+
+def test_align_stream_matches_batched(tiny_dataset, built_index):
+    """The dispatch-ahead stream driver must equal serial align_batch_se
+    calls batch-for-batch, including the n_processed hash-tiebreak offsets
+    (the -K determinism contract, fastmap.c:111,304)."""
+    from bwamem_tpu.pipeline.align import Aligner, align_stream
+    reads = list(itertools.islice(read_fastx(tiny_dataset["fq"]), 48))
+    al = Aligner(built_index)
+    B = 16
+    batches = [reads[i: i + B] for i in range(0, len(reads), B)]
+    want = []
+    off = 0
+    for b in batches:
+        want.extend(al.align_batch_se(b, off))
+        off += len(b)
+    got = []
+    for n, sams in align_stream(al, iter(batches)):
+        assert n == B
+        got.extend(sams)
+    assert got == want

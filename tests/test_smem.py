@@ -135,3 +135,47 @@ def test_short_and_edge_reads(setup, oracle, tiny_dataset, tmp_path):
     iv = run_collect(fm, cases)
     for r in range(len(cases)):
         assert Counter(intervals_of(iv, r)) == Counter(want.get(f"e{r}", [])), r
+
+
+def test_back_extend_staged_matches_lockstep(setup):
+    """back_extend_flat with a compaction ladder must equal the plain
+    lockstep while_loop lane-for-lane (the ladder is a pure perf shape:
+    survivors of each 4-step window move to a smaller arena)."""
+    idx, fm, names, seqs, golden = setup
+    seq, l_seq = encode_reads(seqs, max(len(s) for s in seqs))
+    seq = jnp.asarray(seq)
+    it = np.asarray(fm.L2).dtype
+    rng = np.random.default_rng(7)
+    M = 8192
+    N = seq.shape[0]
+    lane_read = jnp.asarray(rng.integers(0, N, M).astype(np.int32))
+    pivot = jnp.asarray(rng.integers(0, 40, M).astype(np.int32))
+    # random single-base init intervals (always valid FM intervals)
+    base = rng.integers(0, 4, M).astype(np.int32)
+    x0, x1, x2 = fmops.set_intv(fm, jnp.asarray(base))
+    mi = jnp.asarray(rng.integers(1, 3, M).astype(it))
+    valid = jnp.asarray(rng.random(M) < 0.9)
+    s0, a0, b0 = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, x0, x1, x2, mi, valid)
+    # a full-width ladder can never overflow: pure parity check
+    s1, a1, b1, over, need = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, x0, x1, x2, mi, valid,
+        stage_w=(M, M, M))
+    assert not bool(over)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    # a ladder sized from the reported need must fit AND stay exact
+    w0 = 1 << int(np.ceil(np.log2(max(int(need), 2))))
+    s2, a2, b2, over2, _ = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, x0, x1, x2, mi, valid,
+        stage_w=(w0, max(w0 >> 1, 512), max(w0 >> 2, 512)))
+    assert not bool(over2)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b2))
+    # a too-small ladder must flag overflow rather than drop lanes
+    _, _, _, over3, need3 = smemops.back_extend_flat(
+        fm, seq, lane_read, pivot, x0, x1, x2, mi, valid,
+        stage_w=(256, 128, 64))
+    assert bool(over3) or int(need3) <= 256

@@ -72,11 +72,13 @@ def main():
     l_dev = jnp.asarray(l_seq)
 
     s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
-              min_seed_len=opt.min_seed_len, use_kmer=use_kmer)
+              min_seed_len=opt.min_seed_len, use_kmer=use_kmer,
+              b1s=min(sizes["b1s"], sizes["kmax"]))
     s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
               k2max=sizes["k2max"], e2max=sizes["e2max"],
               min_seed_len=opt.min_seed_len, split_len=opt.split_len,
-              split_width=opt.split_width)
+              split_width=opt.split_width,
+              b2s=min(sizes["b2s"], sizes["k2max"]))
     s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
               min_seed_len=opt.min_seed_len,
               max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer)
