@@ -59,6 +59,18 @@ def _load():
                 ctypes.c_int64, _i64p, _i64p, _i32p, _i32p, _i32p, _u8p,
                 ctypes.c_int32, ctypes.c_float,
                 _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
+            lib.replay_batch.restype = ctypes.c_int
+            lib.replay_batch.argtypes = [
+                ctypes.c_int64,
+                _i64p, _i32p, _i32p, _i32p, _u8p, _i64p, _i32p,  # chains
+                _i64p, _i32p, _i32p, _i32p, _i64p,               # items/seed
+                _i32p, _i32p, _i64p, _i64p, _i32p,               # ext result
+                _u8p, _i32p,                                     # skip, l_seq
+                ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _i64p, _i64p, _i32p]
             lib.sam_batch.restype = ctypes.c_int64
             lib.sam_batch.argtypes = [
                 ctypes.c_int64, _i32p,
@@ -149,6 +161,54 @@ def mark_primary_batch(off, ids, score, qb, qe, is_alt, tmp, mask_level):
     if rc != 0:
         raise MemoryError("mark_primary_batch native failure")
     return (*outs, n_pri)
+
+
+def replay_batch(ch_base, c_w, c_beg, c_end, c_alt, c_pos, c_rid,
+                 it_base, i_chain, i_qbeg, i_len, i_rbeg,
+                 n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt):
+    """mem_chain_flt + mem_chain2aln accept/skip replay over read-major
+    flat arenas (spec: pipeline/device_front._replay).  Returns
+    (out_base [n+1] i64, out_m [emitted] i64 global item indices,
+    out_rid [emitted] i32) in emission order."""
+    lib = _load()
+    n_reads = len(ch_base) - 1
+    n_it = int(it_base[-1])
+    out_base = np.zeros(n_reads + 1, np.int64)
+    out_m = np.zeros(max(n_it, 1), np.int64)
+    out_rid = np.zeros(max(n_it, 1), np.int32)
+    c = np.ascontiguousarray
+    rc = lib.replay_batch(
+        n_reads,
+        c(ch_base, np.int64).ctypes.data_as(_i64p),
+        c(c_w, np.int32).ctypes.data_as(_i32p),
+        c(c_beg, np.int32).ctypes.data_as(_i32p),
+        c(c_end, np.int32).ctypes.data_as(_i32p),
+        c(c_alt, np.uint8).ctypes.data_as(_u8p),
+        c(c_pos, np.int64).ctypes.data_as(_i64p),
+        c(c_rid, np.int32).ctypes.data_as(_i32p),
+        c(it_base, np.int64).ctypes.data_as(_i64p),
+        c(i_chain, np.int32).ctypes.data_as(_i32p),
+        c(i_qbeg, np.int32).ctypes.data_as(_i32p),
+        c(i_len, np.int32).ctypes.data_as(_i32p),
+        c(i_rbeg, np.int64).ctypes.data_as(_i64p),
+        c(n_qb, np.int32).ctypes.data_as(_i32p),
+        c(n_qe, np.int32).ctypes.data_as(_i32p),
+        c(n_rb, np.int64).ctypes.data_as(_i64p),
+        c(n_re, np.int64).ctypes.data_as(_i64p),
+        c(n_w, np.int32).ctypes.data_as(_i32p),
+        c(skip, np.uint8).ctypes.data_as(_u8p),
+        c(l_seq, np.int32).ctypes.data_as(_i32p),
+        float(opt.mask_level), float(opt.drop_ratio),
+        int(opt.min_seed_len), int(opt.max_chain_gap),
+        int(opt.min_chain_weight), int(opt.max_chain_extend),
+        int(opt.a), int(opt.o_del), int(opt.e_del),
+        int(opt.o_ins), int(opt.e_ins), int(opt.w),
+        out_base.ctypes.data_as(_i64p), out_m.ctypes.data_as(_i64p),
+        out_rid.ctypes.data_as(_i32p))
+    if rc != 0:
+        raise MemoryError("replay_batch native failure")
+    n_out = int(out_base[-1])
+    return out_base, out_m[:n_out], out_rid[:n_out]
 
 
 def sam_render_batch(fields, names, cigars, seqs, quals, mds, mcs, sas,

@@ -594,3 +594,401 @@ int64_t sam_batch(int64_t n_lines, const int32_t *fields,
     line_off[n_lines] = pos;
     return 0;
 }
+
+/* ------------------------------------------------------------------------
+ * replay_batch — exact mem_chain_flt + mem_chain2aln skip/accept replay
+ * over the fetched device arenas (spec: pipeline/device_front._replay +
+ * pipeline/chainflt_host.chain_flt_exact; reference behavior
+ * bwamem.c:331-392 chain filtering incl. ks_introsort(mem_flt) tie order,
+ * bwamem.c:628-637 cal_max_gap, bwamem.c:660-793 the seed accept walk).
+ *
+ * Inputs are read-major flat arenas with [n+1] base offsets:
+ *   chains: ch_base; per chain c_w/c_beg/c_end (int32), c_alt (u8),
+ *           c_pos (int64, B-tree traversal key), c_rid (int32)
+ *   items:  it_base; per item i_chain (read-local chain id, int32),
+ *           i_qbeg/i_len (int32), i_rbeg (int64) — the SEED;
+ *           n_qb/n_qe/score/truesc/n_w/seedcov (int32), n_rb/n_re (int64)
+ *           — the extension result used for emitted-reg overlap tests.
+ * skip: per-read u8, 1 = leave read untouched (host-fallback row).
+ * Outputs: out_base[n+1]; per accepted item out_m (global item index,
+ * int64) and out_rid (int32), in emission order.  Caller materializes
+ * AlnReg objects.  Returns 0, -2 on alloc failure.
+ * ---------------------------------------------------------------------- */
+
+typedef struct { int32_t w; int32_t idx; } wi_t;
+
+static inline int wi_lt(wi_t a, wi_t b) { return a.w > b.w; }
+
+static void wi_insertsort(wi_t *a, int s, int t)
+{
+    for (int i = s + 1; i < t; i++) {
+        int j = i;
+        while (j > s && wi_lt(a[j], a[j - 1])) {
+            wi_t tmp = a[j]; a[j] = a[j - 1]; a[j - 1] = tmp;
+            j--;
+        }
+    }
+}
+
+static void wi_combsort(wi_t *a, int off, int cnt)
+{
+    const double shrink = 1.2473309501039786540366528676643;
+    int gap = cnt;
+    for (;;) {
+        if (gap > 2) {
+            gap = (int)(gap / shrink);
+            if (gap == 9 || gap == 10) gap = 11;
+        }
+        int do_swap = 0;
+        for (int i = off; i < off + cnt - gap; i++) {
+            int j = i + gap;
+            if (wi_lt(a[j], a[i])) {
+                wi_t tmp = a[i]; a[i] = a[j]; a[j] = tmp;
+                do_swap = 1;
+            }
+        }
+        if (!(do_swap || gap > 2)) break;
+    }
+    if (gap != 1) wi_insertsort(a, off, off + cnt);
+}
+
+/* ks_introsort(mem_flt) permutation: sorts (w, input-index) pairs with
+ * comparator w-desc using klib's introsort control flow (the EQUAL-weight
+ * permutation is load-bearing for mem_chain_flt's kept set). */
+static void wi_introsort(wi_t *a, int n)
+{
+    typedef struct { int s, t, d; } frame_t;
+    frame_t stack[128];
+    int nstk = 0;
+    if (n < 2) return;
+    if (n == 2) {
+        if (wi_lt(a[1], a[0])) { wi_t t = a[0]; a[0] = a[1]; a[1] = t; }
+        return;
+    }
+    int d = 2;
+    while ((1 << d) < n) d++;
+    int s = 0, t = n - 1;
+    d <<= 1;
+    for (;;) {
+        if (s < t) {
+            d--;
+            if (d == 0) { wi_combsort(a, s, t - s + 1); t = s; continue; }
+            int i = s, j = t;
+            int k = i + ((j - i) >> 1) + 1;
+            if (wi_lt(a[k], a[i])) {
+                if (wi_lt(a[k], a[j])) k = j;
+            } else {
+                k = wi_lt(a[j], a[i]) ? i : j;
+            }
+            wi_t rp = a[k];
+            if (k != t) { wi_t tmp = a[k]; a[k] = a[t]; a[t] = tmp; }
+            for (;;) {
+                i++;
+                while (wi_lt(a[i], rp)) i++;
+                j--;
+                while (i <= j && wi_lt(rp, a[j])) j--;
+                if (j <= i) break;
+                wi_t tmp = a[i]; a[i] = a[j]; a[j] = tmp;
+            }
+            { wi_t tmp = a[i]; a[i] = a[t]; a[t] = tmp; }
+            if (i - s > t - i) {
+                if (i - s > 16) {
+                    stack[nstk].s = s; stack[nstk].t = i - 1;
+                    stack[nstk].d = d; nstk++;
+                }
+                s = (t - i > 16) ? i + 1 : t;
+            } else {
+                if (t - i > 16) {
+                    stack[nstk].s = i + 1; stack[nstk].t = t;
+                    stack[nstk].d = d; nstk++;
+                }
+                t = (i - s > 16) ? i - 1 : s;
+            }
+        } else {
+            if (nstk == 0) { wi_insertsort(a, 0, n); return; }
+            nstk--;
+            s = stack[nstk].s; t = stack[nstk].t; d = stack[nstk].d;
+        }
+    }
+}
+
+typedef struct { int64_t pos; int32_t idx; } trav_t;
+
+static int cmp_trav(const void *a_, const void *b_)
+{
+    const trav_t *a = a_, *b = b_;
+    if (a->pos != b->pos) return a->pos < b->pos ? -1 : 1;
+    return a->idx < b->idx ? -1 : 1;
+}
+
+static inline int cal_max_gap_c(int qlen, int a, int o_del, int e_del,
+                                int o_ins, int e_ins, int w)
+{   /* cal_max_gap (bwamem.c:628-637): C float truncation semantics */
+    int l_del = (int)((double)(qlen * a - o_del) / e_del + 1.);
+    int l_ins = (int)((double)(qlen * a - o_ins) / e_ins + 1.);
+    int l = l_del > l_ins ? l_del : l_ins;
+    if (l < 1) l = 1;
+    int ww = w << 1;
+    return l < ww ? l : ww;
+}
+
+int replay_batch(int64_t n_reads,
+                 const int64_t *ch_base,
+                 const int32_t *c_w, const int32_t *c_beg,
+                 const int32_t *c_end, const uint8_t *c_alt,
+                 const int64_t *c_pos, const int32_t *c_rid,
+                 const int64_t *it_base,
+                 const int32_t *i_chain, const int32_t *i_qbeg,
+                 const int32_t *i_len, const int64_t *i_rbeg,
+                 const int32_t *n_qb, const int32_t *n_qe,
+                 const int64_t *n_rb, const int64_t *n_re,
+                 const int32_t *n_w,
+                 const uint8_t *skip, const int32_t *l_seq,
+                 float mask_level, float drop_ratio,
+                 int32_t min_seed_len, int32_t max_chain_gap,
+                 int32_t min_chain_weight, int32_t max_chain_extend,
+                 int32_t a_sc, int32_t o_del, int32_t e_del,
+                 int32_t o_ins, int32_t e_ins, int32_t w_opt,
+                 int64_t *out_base, int64_t *out_m, int32_t *out_rid)
+{
+    int64_t cmax = 0, imax = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        int64_t nc = ch_base[r + 1] - ch_base[r];
+        int64_t ni = it_base[r + 1] - it_base[r];
+        if (nc > cmax) cmax = nc;
+        if (ni > imax) imax = ni;
+    }
+    if (cmax < 1) cmax = 1;
+    if (imax < 1) imax = 1;
+    trav_t *trav = malloc(cmax * sizeof(trav_t));
+    wi_t *wi = malloc(cmax * sizeof(wi_t));
+    int32_t *srt = malloc(cmax * sizeof(int32_t));
+    uint8_t *kept = malloc(cmax);
+    int32_t *first = malloc(cmax * sizeof(int32_t));
+    int32_t *keep_list = malloc(cmax * sizeof(int32_t));
+    int32_t *kept_ids = malloc(cmax * sizeof(int32_t));
+    /* by-chain counting sort over items */
+    int32_t *cnt = malloc((cmax + 1) * sizeof(int32_t));
+    int32_t *coff = malloc((cmax + 1) * sizeof(int32_t));
+    int32_t *by_chain = malloc(imax * sizeof(int32_t)); /* local item idx */
+    wi_t *ord = malloc(imax * sizeof(wi_t));
+    int32_t *work = malloc(imax * sizeof(int32_t));     /* local item idx */
+    int32_t *wchain = malloc(imax * sizeof(int32_t));
+    int32_t *chpos = malloc(imax * sizeof(int32_t)); /* k of work in chain */
+    uint8_t *marks = malloc(imax);
+    if (!trav || !wi || !srt || !kept || !first || !keep_list || !kept_ids
+        || !cnt || !coff || !by_chain || !ord || !work || !wchain
+        || !chpos || !marks) {
+        free(trav); free(wi); free(srt); free(kept); free(first);
+        free(keep_list); free(kept_ids); free(cnt); free(coff);
+        free(by_chain); free(ord); free(work); free(wchain); free(chpos);
+        free(marks);
+        return -2;
+    }
+
+    int64_t emit = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        out_base[r] = emit;
+        if (skip[r]) continue;
+        int64_t cb = ch_base[r], ce = ch_base[r + 1];
+        int nch = (int)(ce - cb);
+        if (nch == 0) continue;
+        int64_t ib = it_base[r], ie = it_base[r + 1];
+        int nit = (int)(ie - ib);
+
+        /* traversal order (pos asc, creation idx asc) then weight gate */
+        for (int c = 0; c < nch; c++) {
+            trav[c].pos = c_pos[cb + c];
+            trav[c].idx = c;
+        }
+        qsort(trav, nch, sizeof(trav_t), cmp_trav);
+        int nh = 0;
+        for (int c = 0; c < nch; c++) {
+            int id = trav[c].idx;
+            if (c_w[cb + id] >= min_chain_weight) {
+                wi[nh].w = c_w[cb + id];
+                wi[nh].idx = nh;
+                srt[nh] = id;      /* pre-sort: ids in trav order */
+                nh++;
+            }
+        }
+        if (nh == 0) continue;
+        wi_introsort(wi, nh);
+        /* srt[i] = chain id at sorted index i */
+        for (int i = 0; i < nh; i++) kept_ids[i] = srt[wi[i].idx];
+        memcpy(srt, kept_ids, nh * sizeof(int32_t));
+
+        /* mem_chain_flt kept walk (bwamem.c:344-379) */
+        int nkeep = 0;
+        memset(kept, 0, nh);
+        for (int i = 0; i < nh; i++) first[i] = -1;
+        keep_list[nkeep++] = 0;
+        kept[0] = 3;
+        for (int i = 1; i < nh; i++) {
+            int ci = srt[i];
+            int large_ovlp = 0, dropped = 0;
+            for (int kk = 0; kk < nkeep; kk++) {
+                int j = keep_list[kk];
+                int cj = srt[j];
+                int b_max = c_beg[cb + cj] > c_beg[cb + ci]
+                          ? c_beg[cb + cj] : c_beg[cb + ci];
+                int e_min = c_end[cb + cj] < c_end[cb + ci]
+                          ? c_end[cb + cj] : c_end[cb + ci];
+                if (e_min > b_max && (!c_alt[cb + cj] || c_alt[cb + ci])) {
+                    int li = c_end[cb + ci] - c_beg[cb + ci];
+                    int lj = c_end[cb + cj] - c_beg[cb + cj];
+                    int min_l = li < lj ? li : lj;
+                    if (e_min - b_max >= min_l * mask_level
+                        && min_l < max_chain_gap) {
+                        large_ovlp = 1;
+                        if (first[j] < 0) first[j] = i;
+                        if (c_w[cb + ci] < c_w[cb + cj] * drop_ratio
+                            && c_w[cb + cj] - c_w[cb + ci]
+                               >= min_seed_len << 1) {
+                            dropped = 1;
+                            break;
+                        }
+                    }
+                }
+            }
+            if (!dropped) {
+                keep_list[nkeep++] = i;
+                kept[i] = large_ovlp ? 2 : 3;
+            }
+        }
+        for (int kk = 0; kk < nkeep; kk++) {
+            int j = keep_list[kk];
+            if (first[j] >= 0) kept[first[j]] = 1;
+        }
+        /* max_chain_extend cap (bwamem.c:380-386) */
+        {
+            int k = 0, i = 0;
+            while (i < nh) {
+                if (kept[i] == 1 || kept[i] == 2) {
+                    k++;
+                    if (k >= max_chain_extend) break;
+                }
+                i++;
+            }
+            while (i < nh) {
+                if (kept[i] < 3) kept[i] = 0;
+                i++;
+            }
+        }
+        int nkept = 0;
+        for (int i = 0; i < nh; i++)
+            if (kept[i] > 0) kept_ids[nkept++] = srt[i];
+        if (nkept == 0) continue;
+
+        /* group items by read-local chain id (insertion = m asc) */
+        memset(cnt, 0, (nch + 1) * sizeof(int32_t));
+        for (int m = 0; m < nit; m++) {
+            int ch = i_chain[ib + m];
+            if (ch >= 0 && ch < nch) cnt[ch]++;
+        }
+        coff[0] = 0;
+        for (int c = 0; c < nch; c++) coff[c + 1] = coff[c] + cnt[c];
+        memset(cnt, 0, nch * sizeof(int32_t));
+        for (int m = 0; m < nit; m++) {
+            int ch = i_chain[ib + m];
+            if (ch >= 0 && ch < nch) by_chain[coff[ch] + cnt[ch]++] = m;
+        }
+
+        /* work order: kept chains in sorted order; within a chain by
+         * (len desc, insertion idx desc) — the DESC srt walk
+         * (bwamem.c:669-676) */
+        int cnum = 0;
+        for (int kk = 0; kk < nkept; kk++) {
+            int c = kept_ids[kk];
+            int nm = coff[c + 1] - coff[c];
+            for (int k = 0; k < nm; k++) {
+                ord[k].w = i_len[ib + by_chain[coff[c] + k]];
+                ord[k].idx = k;
+            }
+            /* (len desc, idx desc): qsort comparator is fine — all keys
+             * distinct because idx is unique */
+            for (int x = 1; x < nm; x++) {    /* insertion sort: nm small */
+                wi_t v = ord[x];
+                int y = x - 1;
+                while (y >= 0 && (ord[y].w < v.w
+                                  || (ord[y].w == v.w && ord[y].idx < v.idx))) {
+                    ord[y + 1] = ord[y];
+                    y--;
+                }
+                ord[y + 1] = v;
+            }
+            for (int k = 0; k < nm; k++) {
+                int ki = cnum + k;
+                work[ki] = by_chain[coff[c] + ord[k].idx];
+                wchain[ki] = c;
+                chpos[ki] = k;    /* position within this chain's run */
+            }
+            cnum += nm;
+        }
+
+        /* accept/skip walk (bwamem.c:674-793 srt-walk semantics) */
+        int lq = l_seq[r];
+        int64_t first_emit = emit;
+        memset(marks, 1, cnum);
+        for (int k = 0; k < cnum; k++) {
+            int m = work[k];
+            int64_t gm = ib + m;
+            int64_t srb = i_rbeg[gm];
+            int sqb = i_qbeg[gm], slen = i_len[gm];
+            int hit = -1;
+            for (int64_t e = first_emit; e < emit; e++) {
+                int64_t pm = out_m[e];
+                int64_t prb = n_rb[pm], pre = n_re[pm];
+                int pqb = n_qb[pm], pqe = n_qe[pm];
+                if (srb < prb || srb + slen > pre || sqb < pqb
+                    || sqb + slen > pqe)
+                    continue;
+                if ((double)(slen - i_len[pm]) > .1 * lq) continue;
+                int qd = sqb - pqb;
+                int64_t rd64 = srb - prb;
+                int rd = rd64 > MP_INT_MAX ? MP_INT_MAX : (int)rd64;
+                int mn = qd < rd ? qd : rd;
+                int w = cal_max_gap_c(mn, a_sc, o_del, e_del, o_ins,
+                                      e_ins, w_opt);
+                if (w > n_w[pm]) w = n_w[pm];
+                if (qd - rd < w && rd - qd < w) { hit = 1; break; }
+                qd = pqe - (sqb + slen);
+                rd64 = pre - (srb + slen);
+                rd = rd64 > MP_INT_MAX ? MP_INT_MAX : (int)rd64;
+                mn = qd < rd ? qd : rd;
+                w = cal_max_gap_c(mn, a_sc, o_del, e_del, o_ins,
+                                  e_ins, w_opt);
+                if (w > n_w[pm]) w = n_w[pm];
+                if (qd - rd < w && rd - qd < w) { hit = 1; break; }
+            }
+            if (hit >= 0) {
+                /* overlapping-seed exception (bwamem.c:699-711): walk
+                 * earlier STILL-MARKED seeds of the same chain */
+                int differs = 0;
+                for (int k2 = k - 1; k2 >= k - chpos[k]; k2--) {
+                    if (!marks[k2]) continue;
+                    int64_t gm2 = ib + work[k2];
+                    int tq = i_qbeg[gm2];
+                    int64_t tr = i_rbeg[gm2];
+                    int tl = i_len[gm2];
+                    if ((double)tl < slen * .95) continue;
+                    if (sqb <= tq && sqb + slen - tq >= slen >> 2
+                        && tq - sqb != tr - srb) { differs = 1; break; }
+                    if (tq <= sqb && tq + tl - sqb >= slen >> 2
+                        && sqb - tq != srb - tr) { differs = 1; break; }
+                }
+                if (!differs) { marks[k] = 0; continue; }
+            }
+            out_m[emit] = gm;
+            out_rid[emit] = c_rid[cb + wchain[k]];
+            emit++;
+        }
+    }
+    out_base[n_reads] = emit;
+
+    free(trav); free(wi); free(srt); free(kept); free(first);
+    free(keep_list); free(kept_ids); free(cnt); free(coff);
+    free(by_chain); free(ord); free(work); free(wchain); free(chpos);
+    free(marks);
+    return 0;
+}

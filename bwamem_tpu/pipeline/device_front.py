@@ -874,7 +874,59 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
 
 def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
     """Exact mem_chain_flt + mem_chain2aln skip/accept replay
-    (bwamem.c:334-392, 674-793) over the fetched arenas."""
+    (bwamem.c:334-392, 674-793) over the fetched arenas.  Native
+    hostops.replay_batch when available (the per-read/per-seed walk is
+    branchy C-shaped work); _replay_py is the spec and fallback."""
+    from bwamem_tpu import native
+    if not native.available():
+        return _replay_py(al, reads, I32, IIT, CH32, CHPOS, l_rep, n,
+                          fallback)
+    opt: MemOptions = al.opt
+    with timers.section("front.replay"):
+        (i_read, _i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe, score,
+         truesc, n_w, seedcov) = (I32[k] for k in range(11))
+        i_rbeg, n_rb, n_re = IIT[0], IIT[1], IIT[2]
+        c_read, c_w, c_beg, c_end, c_ra = (CH32[k] for k in range(5))
+        ch_base = np.searchsorted(c_read, np.arange(n + 1))
+        it_base = np.searchsorted(i_read, np.arange(n + 1))
+        skip = np.zeros(n, np.uint8)
+        for i in fallback:
+            if i < n:
+                skip[i] = 1
+        l_seq = np.fromiter((r.l_seq for r in reads[:n]), np.int32, n)
+        out_base, out_m, out_rid = native.replay_batch(
+            ch_base, c_w, c_beg, c_end, (c_ra & 1).astype(np.uint8),
+            CHPOS, c_ra >> 1, it_base, i_chain, i_qbeg, i_len, i_rbeg,
+            n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt)
+        # materialize AlnRegs (plain-python lists: ~1us/reg)
+        qb_l = n_qb[out_m].tolist()
+        qe_l = n_qe[out_m].tolist()
+        rb_l = n_rb[out_m].tolist()
+        re_l = n_re[out_m].tolist()
+        sc_l = score[out_m].tolist()
+        ts_l = truesc[out_m].tolist()
+        w_l = n_w[out_m].tolist()
+        sl_l = i_len[out_m].tolist()
+        cov_l = seedcov[out_m].tolist()
+        rid_l = out_rid.tolist()
+        regs_out: list[list[AlnReg]] = [[] for _ in range(n)]
+        ob = out_base.tolist()
+        for i in range(n):
+            b, e = ob[i], ob[i + 1]
+            if b == e:
+                continue
+            frac_rep = float(l_rep[i]) / max(l_seq[i], 1)
+            regs_out[i] = [
+                AlnReg(rb=rb_l[j], re=re_l[j], qb=qb_l[j], qe=qe_l[j],
+                       rid=rid_l[j], score=sc_l[j], truesc=ts_l[j],
+                       w=w_l[j], seedcov=cov_l[j], seedlen0=sl_l[j],
+                       frac_rep=frac_rep)
+                for j in range(b, e)]
+    return regs_out
+
+
+def _replay_py(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
+    """Pure-python replay spec (see _replay)."""
     opt: MemOptions = al.opt
     from bwamem_tpu.pipeline.extend_host import cal_max_gap
 

@@ -75,11 +75,17 @@ def main():
     al = Aligner(idx)
 
     t = profile_phases(al, reads, reps=2)
-    total = sum(t.values())
+    wall = t.pop("total")
+    secs = {k: v for k, v in t.items()
+            if not k.endswith(".MB") and not k.endswith(".count")}
     print(f"\n=== {n} reads × 2 reps ===")
     for k in sorted(t):
-        print(f"{k:22s} {t[k]:8.3f}s  {100 * t[k] / total:5.1f}%")
-    print(f"{'TOTAL':22s} {total:8.3f}s  → {2 * n / total:,.0f} reads/s")
+        unit = ("MB" if k.endswith(".MB")
+                else "x" if k.endswith(".count") else "s")
+        pct = f"{100 * t[k] / wall:5.1f}%" if unit == "s" else ""
+        print(f"{k:22s} {t[k]:8.3f}{unit}  {pct}")
+    print(f"{'(sections)':22s} {sum(secs.values()):8.3f}s")
+    print(f"{'TOTAL wall':22s} {wall:8.3f}s  → {n / wall:,.0f} reads/s")
 
 
 if __name__ == "__main__":
