@@ -117,15 +117,22 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
     BIG = jnp.asarray(np.iinfo(np.int64 if it == jnp.int64 else np.int32).max,
                       it)
 
+    # per-chain state PACKED into one [N, C, 8] array (pos, rid<<1|alt, fq,
+    # fr, lq, lr, ll, ns — rid/fq/lq/ll/ns fit `it`): the loop body then
+    # needs ONE gather (the lower chain's row) and TWO scatters (append /
+    # open) per step instead of 6 gathers + 10 scatters — on the target
+    # backend per-op cost dwarfs the moved bytes.
+    P_POS, P_RA, P_FQ, P_FR, P_LQ, P_LR, P_LL, P_NS = range(8)
+
     def body(s, st):
-        (pos, rid, is_alt, fq, fr, lq, lr, ll, ns, n, seed_chain,
-         overflow) = st
+        g, n, seed_chain, overflow = st
         rb = seeds.rbeg[:, s]
-        qb = seeds.qbeg[:, s]
-        sl = seeds.len[:, s]
+        qb = seeds.qbeg[:, s].astype(it)
+        sl = seeds.len[:, s].astype(it)
         srid = seeds.rid[:, s]
         svalid = seeds.valid[:, s]
 
+        pos = g[:, :, P_POS]
         exists = jnp.arange(C, dtype=jnp.int32)[None, :] < n[:, None]
         cand = exists & (pos <= rb[:, None])
         has_lower = cand.any(axis=1)
@@ -137,12 +144,10 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
                           -1).max(axis=1)
         lw = jnp.clip(lower, 0, C - 1)
 
-        c_rid = rid[rows, lw]
-        c_fq = fq[rows, lw]
-        c_fr = fr[rows, lw]
-        c_lq = lq[rows, lw]
-        c_lr = lr[rows, lw]
-        c_ll = ll[rows, lw]
+        c = g[rows, lw]                      # ONE gather: [N, 8]
+        c_rid = (c[:, P_RA] >> 1).astype(jnp.int32)
+        c_fq, c_fr = c[:, P_FQ], c[:, P_FR]
+        c_lq, c_lr, c_ll = c[:, P_LQ], c[:, P_LR], c[:, P_LL]
         qend = c_lq + c_ll
         rend = c_lr + c_ll
 
@@ -150,7 +155,7 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
         contained = ((qb >= c_fq) & (qb + sl <= qend)
                      & (rb >= c_fr) & (rb + sl <= rend))
         strand_block = ((c_lr < l_pac) | (c_fr < l_pac)) & (rb >= l_pac)
-        x = (qb - c_lq).astype(it)
+        x = qb - c_lq
         y = rb - c_lr
         grow = ((y >= 0) & (x - y <= w) & (y - x <= w)
                 & (x - c_ll < max_chain_gap) & (y - c_ll < max_chain_gap))
@@ -159,45 +164,37 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
         appended = merged & ~contained
         new = svalid & ~merged
 
-        # append to lower
+        # append to lower: update (lq, lr, ll, ns) — one sliced scatter
         tgt = jnp.where(appended, lw, C)
-        lq = lq.at[rows, tgt].set(qb, mode="drop")
-        lr = lr.at[rows, tgt].set(rb, mode="drop")
-        ll = ll.at[rows, tgt].set(sl, mode="drop")
-        ns = ns.at[rows, tgt].add(1, mode="drop")
-        seed_chain = seed_chain.at[:, s].set(
-            jnp.where(appended, lw, -1))
+        app_vals = jnp.stack([qb, rb, sl, c[:, P_NS] + 1], axis=-1)
+        g = g.at[rows, tgt, P_LQ:].set(app_vals, mode="drop")
 
-        # open new chain
+        # open new chain: write the full row — one scatter
+        new_ra = ((srid.astype(it) << 1)
+                  | (ctg_is_alt[jnp.clip(srid, 0, None)] > 0).astype(it))
         slot = jnp.where(new & (n < C), n, C)
-        pos = pos.at[rows, slot].set(rb, mode="drop")
-        rid = rid.at[rows, slot].set(srid, mode="drop")
-        is_alt = is_alt.at[rows, slot].set(
-            ctg_is_alt[jnp.clip(srid, 0, None)] > 0, mode="drop")
-        fq = fq.at[rows, slot].set(qb, mode="drop")
-        fr = fr.at[rows, slot].set(rb, mode="drop")
-        lq = lq.at[rows, slot].set(qb, mode="drop")
-        lr = lr.at[rows, slot].set(rb, mode="drop")
-        ll = ll.at[rows, slot].set(sl, mode="drop")
-        ns = ns.at[rows, slot].set(1, mode="drop")
+        new_vals = jnp.stack([rb, new_ra, qb, rb, qb, rb, sl,
+                              jnp.ones_like(rb)], axis=-1)
+        g = g.at[rows, slot, :].set(new_vals, mode="drop")
+
         seed_chain = seed_chain.at[:, s].set(
-            jnp.where(new & (n < C), n, seed_chain[:, s]))
+            jnp.where(appended, lw, jnp.where(new & (n < C), n, -1)))
         overflow = overflow | (new & (n >= C))
         n = n + (new & (n < C)).astype(jnp.int32)
+        return g, n, seed_chain, overflow
 
-        return (pos, rid, is_alt, fq, fr, lq, lr, ll, ns, n, seed_chain,
-                overflow)
-
-    init = (jnp.full((N, C), BIG, it), jnp.full((N, C), -1, jnp.int32),
-            jnp.zeros((N, C), bool), jnp.zeros((N, C), jnp.int32),
-            jnp.zeros((N, C), it), jnp.zeros((N, C), jnp.int32),
-            jnp.zeros((N, C), it), jnp.zeros((N, C), jnp.int32),
-            jnp.zeros((N, C), jnp.int32), jnp.zeros((N,), jnp.int32),
+    g0 = jnp.zeros((N, C, 8), it).at[:, :, P_POS].set(BIG)
+    g0 = g0.at[:, :, P_RA].set(jnp.asarray(-2, it))   # rid -1, alt 0
+    init = (g0, jnp.zeros((N,), jnp.int32),
             jnp.full((N, S), -1, jnp.int32), jnp.zeros((N,), bool))
-    st = jax.lax.fori_loop(0, S, body, init)
-    (pos, rid, is_alt, fq, fr, lq, lr, ll, ns, n, seed_chain, overflow) = st
-    return Chains(pos, rid, is_alt, fq, fr, lq, lr, ll, ns, n, seed_chain,
-                  overflow)
+    g, n, seed_chain, overflow = jax.lax.fori_loop(0, S, body, init,
+                                                   unroll=4)
+    return Chains(g[:, :, P_POS], (g[:, :, P_RA] >> 1).astype(jnp.int32),
+                  (g[:, :, P_RA] & 1).astype(bool),
+                  g[:, :, P_FQ].astype(jnp.int32), g[:, :, P_FR],
+                  g[:, :, P_LQ].astype(jnp.int32), g[:, :, P_LR],
+                  g[:, :, P_LL].astype(jnp.int32),
+                  g[:, :, P_NS].astype(jnp.int32), n, seed_chain, overflow)
 
 
 def seeds_by_chain(seeds: Seeds, chains: Chains, seed_cap: int):

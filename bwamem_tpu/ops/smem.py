@@ -101,6 +101,52 @@ def kmer_pre0(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array) -> jax.Array:
     return pre[:, None, :]
 
 
+PACKED_L_MAX = 512   # packed-seq base extraction gate (word count stays small)
+
+
+def pack_seq(seq: jax.Array, l_seq: jax.Array | None = None):
+    """[N, L] nt4 codes -> (b2, amb) packed words, both uint32 [N, W] with
+    W = ceil(L/16).  Base p of row r sits at bits 2*(p&15) of b2[r, p>>4];
+    its ambiguity bit (set for base >= 4 OR p >= l_seq) at bit (p&15) of
+    amb[r, p>>4].
+
+    The scan loops extract per-lane bases from these words with a one-hot
+    select over W columns — pure VPU work — instead of a per-lane gather
+    into seq, because on the target backend every gather op costs ~100 us
+    regardless of size while ~W vector ops are free."""
+    N, L = seq.shape
+    W = (L + 15) // 16
+    pad = W * 16 - L
+    s = jnp.pad(seq, ((0, 0), (0, pad)), constant_values=4)
+    isamb = s >= 4
+    if l_seq is not None:
+        pos = jnp.arange(W * 16, dtype=jnp.int32)[None, :]
+        isamb = isamb | (pos >= l_seq[:, None])
+    sh2 = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    b = jnp.clip(s, 0, 3).astype(jnp.uint32).reshape(N, W, 16)
+    b2 = (b << sh2).sum(-1).astype(jnp.uint32)
+    sh1 = jnp.arange(16, dtype=jnp.uint32)[None, None, :]
+    a = isamb.astype(jnp.uint32).reshape(N, W, 16)
+    amb = (a << sh1).sum(-1).astype(jnp.uint32)
+    return b2, amb
+
+
+def base_at_packed(b2: jax.Array, amb: jax.Array, pos: jax.Array):
+    """Per-lane base at pos from packed rows (b2/amb [..., W], pos [...]).
+    Out-of-range or ambiguous positions read as 4.  No gathers."""
+    W = b2.shape[-1]
+    p = jnp.clip(pos, 0, W * 16 - 1)
+    w = (p >> 4).astype(jnp.int32)
+    sel = jnp.arange(W, dtype=jnp.int32) == w[..., None]
+    word = jnp.where(sel, b2, jnp.uint32(0)).sum(-1).astype(jnp.uint32)
+    aword = jnp.where(sel, amb, jnp.uint32(0)).sum(-1).astype(jnp.uint32)
+    off = (p & 15).astype(jnp.uint32)
+    bb = ((word >> (off * 2)) & 3).astype(jnp.int32)
+    ab = ((aword >> off) & 1) != 0
+    oob = (pos < 0) | (pos >= W * 16)
+    return jnp.where(ab | oob, 4, bb)
+
+
 class Candidates(NamedTuple):
     x0: jax.Array      # [N, C] interval (SA range start)
     x1: jax.Array      # [N, C] reverse-complement range start
@@ -109,12 +155,15 @@ class Candidates(NamedTuple):
     pivot: jax.Array   # [N, C] pivot the candidate came from, int32
     n: jax.Array       # [N] number written
     overflow: jax.Array  # [N] bool
+    steps: jax.Array = None       # [] int32 — loop iterations with work
+    unfinished: jax.Array = None  # [] bool — max_steps was too small
 
 
 def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                  start: jax.Array, min_intv: jax.Array, cap: int,
                  multi_pivot: bool, lane_read: jax.Array = None,
-                 pre: jax.Array = None) -> Candidates:
+                 pre: jax.Array = None,
+                 max_steps: int | None = None) -> Candidates:
     """Phase A.  seq: [N, L] nt4 codes (pad with 4); start: [N] first pivot
     (or the single pivot when multi_pivot=False); min_intv: [N].
 
@@ -122,6 +171,13 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     compacted lanes, each reading row lane_read[m] of seq (l_seq then must
     already be gathered per lane) — used by the fused pass-2 re-seeding,
     which scans only qualifying parent lanes.
+
+    `max_steps`: static trip count — the loop runs as an unrolled fori_loop
+    (the backend charges ~90 us per loop ITERATION, ~4x less when unrolled)
+    and reports `steps` (iterations that still had active lanes, the hwm to
+    persist) and `unfinished` (some lane needed more steps: caller doubles
+    max_steps and retries, same contract as the arena caps).  When None the
+    loop is a while_loop that always completes.
 
     Candidate semantics match the forward loop of bwt_smem1a (bwt.c:304-321):
     push the previous interval on every size change / ambiguous base / read
@@ -135,10 +191,19 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     rows_seq = (lane_read.astype(jnp.int32) if lane_read is not None
                 else rows)                          # seq row per lane
 
-    def seq_at(pos):
-        p = jnp.clip(pos, 0, L - 1)
-        return jnp.where((pos >= 0) & (pos < l_seq),
-                         seq[rows_seq, p].astype(jnp.int32), 4)
+    if L <= PACKED_L_MAX:
+        b2a, amba = pack_seq(seq, None)
+        b2r = b2a[rows_seq] if lane_read is not None else b2a
+        ambr = amba[rows_seq] if lane_read is not None else amba
+
+        def seq_at(pos):
+            return jnp.where((pos >= 0) & (pos < l_seq),
+                             base_at_packed(b2r, ambr, pos), 4)
+    else:
+        def seq_at(pos):
+            p = jnp.clip(pos, 0, L - 1)
+            return jnp.where((pos >= 0) & (pos < l_seq),
+                             seq[rows_seq, p].astype(jnp.int32), 4)
 
     zero_i = jnp.zeros((N,), jnp.int32)
     zero_t = jnp.zeros((N,), it)
@@ -243,12 +308,28 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                     ik_end=ik_end, cbuf=cbuf, n=n, overflow=overflow)
 
     st_min_intv = min_intv.astype(it)
-    st = jax.lax.while_loop(cond, body, state)
+    if max_steps is None:
+        st = jax.lax.while_loop(cond, body, state)
+        steps = jnp.zeros((), jnp.int32)
+        unfinished = jnp.zeros((), bool)
+    else:
+        state["steps"] = jnp.zeros((), jnp.int32)
+
+        def fbody(t, st):
+            active = jnp.any(st["phase"] < 2)
+            steps = st.pop("steps") + active.astype(jnp.int32)
+            st = body(st)
+            st["steps"] = steps
+            return st
+
+        st = jax.lax.fori_loop(0, max_steps, fbody, state, unroll=4)
+        steps = st["steps"]
+        unfinished = jnp.any(st["phase"] < 2)
     cb = st["cbuf"]
     return Candidates(cb[:, :, 0], cb[:, :, 1], cb[:, :, 2],
                       cb[:, :, 3].astype(jnp.int32),
                       cb[:, :, 4].astype(jnp.int32), st["n"],
-                      st["overflow"])
+                      st["overflow"], steps, unfinished)
 
 
 def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
@@ -294,9 +375,22 @@ def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
     alive = valid
     s = pivot.astype(jnp.int32)
 
-    def step(alive, i, s, x0, x1, x2, mi, lr):
-        p = jnp.clip(i, 0, L - 1)
-        qi = jnp.where(i >= 0, seq[lr, p].astype(jnp.int32), 4)
+    packed = L <= PACKED_L_MAX
+    if packed:
+        b2a, amba = pack_seq(seq, None)
+
+        def getseq(lr):
+            return b2a[lr], amba[lr]          # ONE gather per (re)compaction
+    else:
+        def getseq(lr):
+            return None, None
+
+    def step(alive, i, s, x0, x1, x2, mi, lr, b2l, ambl):
+        if packed:
+            qi = base_at_packed(b2l, ambl, i)
+        else:
+            p = jnp.clip(i, 0, L - 1)
+            qi = jnp.where(i >= 0, seq[lr, p].astype(jnp.int32), 4)
         n0, n1, ns = fmops.extend(fm, x0, x1, x2, is_back=True)
         c = jnp.clip(qi, 0, 3)
         e0 = fmops._select4(n0, c)
@@ -312,11 +406,13 @@ def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
         return ok, i, s, x0, x1, x2
 
     if not stage_w:
+        b2l, ambl = getseq(lane_read.astype(jnp.int32))
+
         def cond(st):
             return jnp.any(st[0])
 
         def body(st):
-            return step(*st, mi, lane_read)
+            return step(*st, mi, lane_read, b2l, ambl)
 
         alive, i, s, x0, x1, x2 = jax.lax.while_loop(
             cond, body, (alive, i, s, x0, x1, x2))
@@ -329,16 +425,18 @@ def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
     out_x2 = x2
     orig = jnp.arange(M, dtype=i32)
     lr = lane_read.astype(i32)
+    b2l, ambl = getseq(lr)
     over = jnp.zeros((), bool)
     # `need`: the smallest stage_w[0] that would have fit every stage's
     # survivors under the same halving ladder — the hwm the caller records
     need = jnp.zeros((), i32)
     for j, w in enumerate(stage_w):
         def kbody(_, st):
-            return step(*st[:6], st[6], st[7]) + (st[6], st[7])
+            return step(*st[:6], st[6], st[7], st[8], st[9]) + st[6:]
 
         alive, i, s, x0, x1, x2 = jax.lax.fori_loop(
-            0, k_stage, kbody, (alive, i, s, x0, x1, x2, mi, lr))[:6]
+            0, k_stage, kbody, (alive, i, s, x0, x1, x2, mi, lr, b2l, ambl),
+            unroll=k_stage)[:6]
         # write back every lane's current result (final for dead lanes;
         # alive lanes get overwritten after later stages)
         out_s = out_s.at[orig].set(s, mode="drop")
@@ -352,12 +450,13 @@ def back_extend_flat(fm: fmops.FM, seq: jax.Array, lane_read: jax.Array,
         lane_w = jnp.arange(w, dtype=i32)
         alive = lane_w < jnp.minimum(n_al, w)
         orig = jnp.where(alive, orig, M)
+        b2l, ambl = getseq(lr)
 
     def cond(st):
         return jnp.any(st[0])
 
     def body(st):
-        return step(*st[:6], mi, lr)
+        return step(*st[:6], mi, lr, b2l, ambl)
 
     alive, i, s, x0, x1, x2 = jax.lax.while_loop(
         cond, body, (alive, i, s, x0, x1, x2))
@@ -388,7 +487,7 @@ def emit_mask(cand: Candidates, s: jax.Array) -> jax.Array:
 
 def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
                min_len: int, max_intv: int, cap: int,
-               pre: jax.Array = None):
+               pre: jax.Array = None, max_steps: int | None = None):
     """LAST-like 3rd pass (bwt_seed_strategy1, bwt.c:358-379): forward-only;
     emit the extended interval the first time its size drops below max_intv
     at length > min_len; restart at i+1.
@@ -403,10 +502,17 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     rows = jnp.arange(N, dtype=jnp.int32)
     mi = jnp.asarray(max_intv, it)
 
-    def seq_at(pos):
-        p = jnp.clip(pos, 0, L - 1)
-        return jnp.where((pos >= 0) & (pos < l_seq),
-                         seq[rows, p].astype(jnp.int32), 4)
+    if L <= PACKED_L_MAX:
+        b2a, amba = pack_seq(seq, None)
+
+        def seq_at(pos):
+            return jnp.where((pos >= 0) & (pos < l_seq),
+                             base_at_packed(b2a, amba, pos), 4)
+    else:
+        def seq_at(pos):
+            p = jnp.clip(pos, 0, L - 1)
+            return jnp.where((pos >= 0) & (pos < l_seq),
+                             seq[rows, p].astype(jnp.int32), 4)
 
     zero_t = jnp.zeros((N,), it)
     state = dict(
@@ -482,10 +588,27 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
                     obuf=obuf, n=n, overflow=overflow)
 
-    st = jax.lax.while_loop(cond, body, state)
+    if max_steps is None:
+        st = jax.lax.while_loop(cond, body, state)
+        steps = jnp.zeros((), jnp.int32)
+        unfinished = jnp.zeros((), bool)
+    else:
+        state["steps"] = jnp.zeros((), jnp.int32)
+
+        def fbody(t, st):
+            active = jnp.any(st["phase"] < 2)
+            steps = st.pop("steps") + active.astype(jnp.int32)
+            st = body(st)
+            st["steps"] = steps
+            return st
+
+        st = jax.lax.fori_loop(0, max_steps, fbody, state, unroll=4)
+        steps = st["steps"]
+        unfinished = jnp.any(st["phase"] < 2)
     ob = st["obuf"]
     return (ob[:, :, 0], ob[:, :, 1], ob[:, :, 2].astype(jnp.int32),
-            ob[:, :, 3].astype(jnp.int32), st["n"], st["overflow"])
+            ob[:, :, 3].astype(jnp.int32), st["n"], st["overflow"],
+            steps, unfinished)
 
 
 class Intervals(NamedTuple):
@@ -559,7 +682,7 @@ def collect_intervals(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
 
     # ---- pass 3 ----
     if max_mem_intv > 0:
-        p3x0, p3x2, p3s, p3e, p3n, p3over = pass3_scan(
+        p3x0, p3x2, p3s, p3e, p3n, p3over, _, _ = pass3_scan(
             fm, seq, l_seq, min_seed_len, max_mem_intv, caps.pass3)
         p3valid = jnp.arange(caps.pass3, dtype=jnp.int32)[None, :] < p3n[:, None]
     else:

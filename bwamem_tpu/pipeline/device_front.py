@@ -81,16 +81,16 @@ def _stage_ladder(base: int, width: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "kmax", "emax", "min_seed_len", "use_kmer", "b1s"))
+    "cap", "kmax", "emax", "min_seed_len", "use_kmer", "b1s", "t1s"))
 def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
-            b1s):
+            b1s, t1s):
     N, L = seq.shape
     it = fm.L2.dtype
     i32 = jnp.int32
     pre = smemops.kmer_pre0(fm, seq, l_seq) if use_kmer else None
     c1 = smemops.forward_scan(fm, seq, l_seq, jnp.zeros((N,), i32),
                               jnp.ones((N,), it), cap, multi_pivot=True,
-                              pre=pre)
+                              pre=pre, max_steps=t1s)
     rows = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, cap))
     slots = jnp.broadcast_to(jnp.arange(cap, dtype=i32)[None, :], (N, cap))
     mask1 = (slots < c1.n[:, None]).reshape(-1)
@@ -122,10 +122,11 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
     sec1 = jnp.stack([e_read, e_s, e_e, e_x0, e_x2])
     flags = (c1.overflow.any().astype(i32)
              | (k_over.astype(i32) << 1) | (e_over.astype(i32) << 2)
-             | (b1_over.astype(i32) << 9))
+             | (b1_over.astype(i32) << 9)
+             | (c1.unfinished.astype(i32) << 11))
     meta = jnp.stack([n1.astype(i32), flags, c1.n.max().astype(i32),
                       nk.astype(i32), n1.astype(i32),
-                      b1_need, jnp.zeros((), i32),
+                      b1_need, c1.steps,
                       jnp.zeros((), i32)])
     return sec1, meta
 
@@ -136,9 +137,9 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
 
 @functools.partial(jax.jit, static_argnames=(
     "pmax", "cand2", "k2max", "e2max", "min_seed_len", "split_len",
-    "split_width", "b2s"))
+    "split_width", "b2s", "t2s"))
 def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
-            min_seed_len, split_len, split_width, b2s):
+            min_seed_len, split_len, split_width, b2s, t2s):
     it = fm.L2.dtype
     i32 = jnp.int32
     emax = sec1.shape[1]
@@ -154,7 +155,7 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
     c2 = smemops.forward_scan(
         fm, seq, p_lseq, jnp.where(p_alive, p_start, 0),
         jnp.where(p_alive, p_min, 1), cand2, multi_pivot=False,
-        lane_read=p_read)
+        lane_read=p_read, max_steps=t2s)
     rows2 = jnp.broadcast_to(p_read[:, None], (pmax, cand2))
     slots2 = jnp.broadcast_to(jnp.arange(cand2, dtype=i32)[None, :],
                               (pmax, cand2))
@@ -187,11 +188,11 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
     sec2 = jnp.stack([e2_read, e2_s, e2_e, e2_x0, e2_x2])
     flags = ((p_over.astype(i32) << 3) | (c2.overflow.any().astype(i32) << 4)
              | (k2_over.astype(i32) << 5) | (e2_over.astype(i32) << 6)
-             | (b2_over.astype(i32) << 10))
+             | (b2_over.astype(i32) << 10)
+             | (c2.unfinished.astype(i32) << 12))
     meta = jnp.stack([n2.astype(i32), flags, n_par.astype(i32),
                       c2.n.max().astype(i32), nk2.astype(i32),
-                      n2.astype(i32), b2_need,
-                      jnp.zeros((), i32)])
+                      n2.astype(i32), b2_need, c2.steps])
     return sec2, meta
 
 
@@ -200,15 +201,16 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "p3cap", "e3max", "min_seed_len", "max_mem_intv", "use_kmer"))
+    "p3cap", "e3max", "min_seed_len", "max_mem_intv", "use_kmer", "t3s"))
 def _p3_jit(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
-            use_kmer):
+            use_kmer, t3s):
     N, L = seq.shape
     it = fm.L2.dtype
     i32 = jnp.int32
     pre = smemops.kmer_pre(fm, seq, l_seq) if use_kmer else None
-    p3x0, p3x2, p3s, p3e, p3n, p3over = smemops.pass3_scan(
-        fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap, pre=pre)
+    p3x0, p3x2, p3s, p3e, p3n, p3over, p3steps, p3unf = smemops.pass3_scan(
+        fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap, pre=pre,
+        max_steps=t3s)
     rows3 = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None], (N, p3cap))
     m3 = (jnp.broadcast_to(jnp.arange(p3cap, dtype=i32)[None, :],
                            (N, p3cap)) < p3n[:, None])
@@ -216,9 +218,10 @@ def _p3_jit(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
         m3.reshape(-1), [(rows3, it), (p3s, it), (p3e, it),
                          (p3x0, it), (p3x2, it)], e3max)
     sec3 = jnp.stack([e3_read, e3_s, e3_e, e3_x0, e3_x2])
-    flags = ((p3over.any().astype(i32) << 7) | (e3_over.astype(i32) << 8))
+    flags = ((p3over.any().astype(i32) << 7) | (e3_over.astype(i32) << 8)
+             | (p3unf.astype(i32) << 13))
     meta = jnp.stack([n3.astype(i32), flags, p3n.max().astype(i32),
-                      n3.astype(i32), jnp.zeros((), i32),
+                      n3.astype(i32), p3steps,
                       jnp.zeros((), i32), jnp.zeros((), i32),
                       jnp.zeros((), i32)])
     return sec3, meta
@@ -563,6 +566,7 @@ _GROW1 = ("cap", "kmax", "emax")
 _GROW2 = ("pmax", "cand2", "k2max", "e2max")  # bits 3..6 of p2 flags
 _GROW3 = ("p3cap", "e3max")                   # bits 7..8 of p3 flags
 _GROWB = ("b1s", "b2s")                       # bits 9..10: back-ext ladders
+_GROWT = ("t1s", "t2s", "t3s")                # bits 11..13: scan trip counts
 
 
 def _hist_path(al) -> str | None:
@@ -633,15 +637,27 @@ def _sizes_for(al, N: int, Lr: int):
         "b1s": _bucket(N * 8, lo=1024),
         "b2s": _bucket(N * 4, lo=1024),
     }
+    # scan trip counts (fori_loop static trips; see ops/smem forward_scan):
+    # bucketed to multiples of 32, not powers of two — a trip count only
+    # scales time, not memory, so fine granularity avoids 2x overshoot
+    defaults["t1s"] = -(-(Lr + (Lr >> 1) + 24) // 32) * 32
+    defaults["t2s"] = -(-(Lr + 8) // 32) * 32
+    defaults["t3s"] = defaults["t1s"]
     floors = {"cap": 64, "kmax": 1024, "emax": 1024, "pmax": 256,
               "cand2": 16, "k2max": 1024, "e2max": 1024, "p3cap": 16,
               "e3max": 1024, "a_seed": 1024, "s_cap": 16, "a_ch": 1024,
-              "a_it": 1024, "b1s": 1024, "b2s": 1024}
+              "a_it": 1024, "b1s": 1024, "b2s": 1024,
+              "t1s": 32, "t2s": 32, "t3s": 32}
     sizes = {}
     for k, d in defaults.items():
         h = hist.get(("hwm", k, N))
-        sizes[k] = _bucket(int(h + (h >> 2) + 1), lo=floors[k]) \
-            if h is not None else d
+        if h is None:
+            sizes[k] = d
+        elif k in _GROWT:
+            sizes[k] = max(-(-(int(h) + (int(h) >> 3) + 1) // 32) * 32,
+                           floors[k])
+        else:
+            sizes[k] = _bucket(int(h + (h >> 2) + 1), lo=floors[k])
     return hist, sizes
 
 
@@ -764,7 +780,8 @@ def front_finish(al, tok):
                                   for k in range(5))
             grow = []
             flags = int(m1[1]) | int(m2[1]) | int(m3[1])
-            for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3 + _GROWB):
+            for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3 + _GROWB
+                                       + _GROWT):
                 if (flags >> bit) & 1:
                     grow.append(name)
             if m4[0]:
@@ -802,7 +819,8 @@ def front_finish(al, tok):
                  pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
                  p3cap=m3[2], e3max=m3[3],
                  a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
-                 t_span=m5[6], b1s=m1[5], b2s=m2[6]):
+                 t_span=m5[6], b1s=m1[5], b2s=m2[6],
+                 t1s=m1[6], t2s=m2[7], t3s=m3[4]):
         _hist_save(al, hist)
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
@@ -832,15 +850,16 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
     opt: MemOptions = al.opt
     s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
               min_seed_len=opt.min_seed_len, use_kmer=use_kmer,
-              b1s=min(sizes["b1s"], sizes["kmax"]))
+              b1s=min(sizes["b1s"], sizes["kmax"]), t1s=sizes["t1s"])
     s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
               k2max=sizes["k2max"], e2max=sizes["e2max"],
               min_seed_len=opt.min_seed_len, split_len=opt.split_len,
               split_width=opt.split_width,
-              b2s=min(sizes["b2s"], sizes["k2max"]))
+              b2s=min(sizes["b2s"], sizes["k2max"]), t2s=sizes["t2s"])
     s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
               min_seed_len=opt.min_seed_len,
-              max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer)
+              max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer,
+              t3s=sizes["t3s"])
     s4 = dict(max_occ=opt.max_occ, a_seed=sizes["a_seed"],
               s_cap=sizes["s_cap"], n_reads=N)
     s5 = dict(w=opt.w, max_chain_gap=opt.max_chain_gap,

@@ -519,7 +519,7 @@ def _collect_all_jit(fm, seq, l_seq, *, cap, kmax, emax, pmax, cand2,
 
     # ---- pass 3 (bwt_seed_strategy1) ----
     if max_mem_intv > 0:
-        p3x0, p3x2, p3s, p3e, p3n, p3over = smemops.pass3_scan(
+        p3x0, p3x2, p3s, p3e, p3n, p3over, _, _ = smemops.pass3_scan(
             fm, seq, l_seq, min_seed_len, max_mem_intv, p3cap, pre=pre)
         rows3 = jnp.broadcast_to(jnp.arange(N, dtype=i32)[:, None],
                                  (N, p3cap))

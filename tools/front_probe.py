@@ -73,15 +73,16 @@ def main():
 
     s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
               min_seed_len=opt.min_seed_len, use_kmer=use_kmer,
-              b1s=min(sizes["b1s"], sizes["kmax"]))
+              b1s=min(sizes["b1s"], sizes["kmax"]), t1s=sizes["t1s"])
     s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
               k2max=sizes["k2max"], e2max=sizes["e2max"],
               min_seed_len=opt.min_seed_len, split_len=opt.split_len,
               split_width=opt.split_width,
-              b2s=min(sizes["b2s"], sizes["k2max"]))
+              b2s=min(sizes["b2s"], sizes["k2max"]), t2s=sizes["t2s"])
     s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
               min_seed_len=opt.min_seed_len,
-              max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer)
+              max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer,
+              t3s=sizes["t3s"])
     s4 = dict(max_occ=opt.max_occ, a_seed=sizes["a_seed"],
               s_cap=sizes["s_cap"], n_reads=N)
     s5 = dict(w=opt.w, max_chain_gap=opt.max_chain_gap,
