@@ -24,6 +24,7 @@ lanes), phase C renders SAM text.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import numpy as np
@@ -437,7 +438,6 @@ def reorder_primary5(opt: MemOptions, regs: list[AlnReg]) -> None:
 
 def approx_mapq_se(opt: MemOptions, a: AlnReg) -> int:
     """mem_approx_mapq_se (bwamem.c:962-986)."""
-    import math
     sub = a.sub if a.sub else opt.min_seed_len * opt.a
     sub = max(a.csub, sub)
     if sub >= a.score:
@@ -708,8 +708,9 @@ def reg2aln_finish(opt: MemOptions, ctg_offsets: np.ndarray, l_pac: int,
         if clip3:
             cigar = cigar + [(3, clip3)]
     a.cigar = cigar
-    rid = int(np.searchsorted(ctg_offsets, pos, side="right") - 1)
-    assert rid == ar.rid, (rid, ar.rid)
+    # rid is the interval's contig (intv2rid upstream); the leading-D
+    # squeeze moves pos only within it, so no searchsorted per record
+    rid = ar.rid
     a.rid = rid
     a.pos = int(pos - ctg_offsets[rid])
     a.score = ar.score

@@ -117,12 +117,13 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
     BIG = jnp.asarray(np.iinfo(np.int64 if it == jnp.int64 else np.int32).max,
                       it)
 
-    # per-chain state PACKED into one [N, C, 8] array (pos, rid<<1|alt, fq,
-    # fr, lq, lr, ll, ns — rid/fq/lq/ll/ns fit `it`): the loop body then
-    # needs ONE gather (the lower chain's row) and TWO scatters (append /
-    # open) per step instead of 6 gathers + 10 scatters — on the target
-    # backend per-op cost dwarfs the moved bytes.
+    # per-chain state in one [N, C, 8] array (pos, rid<<1|alt, fq, fr, lq,
+    # lr, ll, ns — rid/fq/lq/ll/ns fit `it`).  C is small (~64), so the
+    # loop body touches it with ONE-HOT masked reduces and writes — pure
+    # VPU traffic over N*C*8 elements — instead of gathers/scatters, which
+    # cost ~0.4-0.7 ms PER OP on the target backend regardless of size.
     P_POS, P_RA, P_FQ, P_FR, P_LQ, P_LR, P_LL, P_NS = range(8)
+    lanesC = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     def body(s, st):
         g, n, seed_chain, overflow = st
@@ -133,18 +134,17 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
         svalid = seeds.valid[:, s]
 
         pos = g[:, :, P_POS]
-        exists = jnp.arange(C, dtype=jnp.int32)[None, :] < n[:, None]
+        exists = lanesC < n[:, None]
         cand = exists & (pos <= rb[:, None])
         has_lower = cand.any(axis=1)
         # argmax of (pos, j): later-created chain wins ties
         key = jnp.where(cand, pos, -BIG)
         maxpos = key.max(axis=1)
         tie = cand & (pos == maxpos[:, None])
-        lower = jnp.where(tie, jnp.arange(C, dtype=jnp.int32)[None, :],
-                          -1).max(axis=1)
-        lw = jnp.clip(lower, 0, C - 1)
+        lower = jnp.where(tie, lanesC, -1).max(axis=1)
 
-        c = g[rows, lw]                      # ONE gather: [N, 8]
+        oh_low = lanesC == lower[:, None]              # [N, C]
+        c = jnp.where(oh_low[:, :, None], g, 0).sum(axis=1, dtype=it)
         c_rid = (c[:, P_RA] >> 1).astype(jnp.int32)
         c_fq, c_fr = c[:, P_FQ], c[:, P_FR]
         c_lq, c_lr, c_ll = c[:, P_LQ], c[:, P_LR], c[:, P_LL]
@@ -162,25 +162,27 @@ def chain_seeds(seeds: Seeds, ctg_is_alt: jax.Array, l_pac,
         merged = svalid & has_lower & same_rid & (contained
                                                   | (~strand_block & grow))
         appended = merged & ~contained
-        new = svalid & ~merged
+        new = svalid & ~merged & (n < C)
 
-        # append to lower: update (lq, lr, ll, ns) — one sliced scatter
-        tgt = jnp.where(appended, lw, C)
-        app_vals = jnp.stack([qb, rb, sl, c[:, P_NS] + 1], axis=-1)
-        g = g.at[rows, tgt, P_LQ:].set(app_vals, mode="drop")
-
-        # open new chain: write the full row — one scatter
+        # ONE masked write serves both cases (disjoint per lane): the
+        # appended row keeps (pos, ra, fq, fr) and refreshes the tail; a
+        # new chain writes the full row at slot n
         new_ra = ((srid.astype(it) << 1)
                   | (ctg_is_alt[jnp.clip(srid, 0, None)] > 0).astype(it))
-        slot = jnp.where(new & (n < C), n, C)
-        new_vals = jnp.stack([rb, new_ra, qb, rb, qb, rb, sl,
-                              jnp.ones_like(rb)], axis=-1)
-        g = g.at[rows, slot, :].set(new_vals, mode="drop")
+        app_row = jnp.stack([c[:, P_POS], c[:, P_RA], c_fq, c_fr,
+                             qb, rb, sl, c[:, P_NS] + 1], axis=-1)
+        new_row = jnp.stack([rb, new_ra, qb, rb, qb, rb, sl,
+                             jnp.ones_like(rb)], axis=-1)
+        wmask = jnp.where(appended[:, None], oh_low,
+                          new[:, None] & (lanesC == n[:, None]))
+        wrow = jnp.where(appended[:, None], app_row, new_row)
+        g = jnp.where(wmask[:, :, None], wrow[:, None, :], g)
 
         seed_chain = seed_chain.at[:, s].set(
-            jnp.where(appended, lw, jnp.where(new & (n < C), n, -1)))
-        overflow = overflow | (new & (n >= C))
-        n = n + (new & (n < C)).astype(jnp.int32)
+            jnp.where(appended, jnp.clip(lower, 0, C - 1),
+                      jnp.where(new, n, -1)))
+        overflow = overflow | (svalid & ~merged & (n >= C))
+        n = n + new.astype(jnp.int32)
         return g, n, seed_chain, overflow
 
     g0 = jnp.zeros((N, C, 8), it).at[:, :, P_POS].set(BIG)

@@ -207,17 +207,12 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
 
     zero_i = jnp.zeros((N,), jnp.int32)
     zero_t = jnp.zeros((N,), it)
-    # one packed candidate buffer (x0, x1, x2, end, pivot stacked on the
-    # minor dim) so each push is ONE scatter op instead of five — the
-    # per-scatter-op cost dominates on the target backend
     state = dict(
         phase=jnp.where(start < l_seq, 0, 2).astype(jnp.int32),
         x=start.astype(jnp.int32),
         i=zero_i,
         ik0=zero_t, ik1=zero_t, ik2=zero_t,
         ik_end=zero_i,
-        cbuf=jnp.zeros((N, cap, 5), it),
-        n=zero_i, overflow=jnp.zeros((N,), bool),
     )
     if pre is not None:
         # k-mer-12 fast start for the FIRST pivot when it is position 0:
@@ -242,11 +237,17 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
     def cond(st):
         return jnp.any(st["phase"] < 2)
 
-    def body(st):
+    def core(st):
+        """One scan step: returns (new core state, push mask, candidate
+        fields [N, 5]).  Recording is the caller's concern — the while
+        path scatters into a [N, cap] buffer; the fori path logs to a
+        [T, N, 6] step journal with a free loop-index dynamic_update_slice
+        (a per-step [N, cap, 5] scatter costs ~0.7 ms on the target
+        backend; the dus is free)."""
         phase, x, i = st["phase"], st["x"], st["i"]
         ik0, ik1, ik2, ik_end = st["ik0"], st["ik1"], st["ik2"], st["ik_end"]
 
-        # phases 0 and 1 are mutually exclusive per lane, so ONE seq gather
+        # phases 0 and 1 are mutually exclusive per lane, so ONE seq fetch
         # serves both the pivot base q[x] (init) and the step base q[i]
         init = phase == 0
         ext = phase == 1
@@ -282,13 +283,8 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         push = at_end | amb | size_change
         finish = at_end | amb | too_small
 
-        # ---- record candidate (one packed scatter) ----
-        slot = jnp.where(push & (st["n"] < cap), st["n"], cap)
         vals = jnp.stack([ik0, ik1, ik2, ik_end.astype(it),
                           st["x"].astype(it)], axis=-1)
-        cbuf = st["cbuf"].at[rows, slot, :].set(vals, mode="drop")
-        n = st["n"] + (push & (st["n"] < cap)).astype(jnp.int32)
-        overflow = st["overflow"] | (push & (st["n"] >= cap))
 
         # ---- advance ----
         cont = do_ext & ~finish
@@ -304,32 +300,63 @@ def forward_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         else:
             phase = jnp.where(finish, 2, phase)
 
-        return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
-                    ik_end=ik_end, cbuf=cbuf, n=n, overflow=overflow)
+        return (dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
+                     ik_end=ik_end), push, vals)
 
     st_min_intv = min_intv.astype(it)
     if max_steps is None:
+        state.update(cbuf=jnp.zeros((N, cap, 5), it), n=zero_i,
+                     overflow=jnp.zeros((N,), bool))
+
+        def body(st):
+            nst, push, vals = core(st)
+            slot = jnp.where(push & (st["n"] < cap), st["n"], cap)
+            nst["cbuf"] = st["cbuf"].at[rows, slot, :].set(vals,
+                                                           mode="drop")
+            nst["n"] = st["n"] + (push & (st["n"] < cap)).astype(jnp.int32)
+            nst["overflow"] = st["overflow"] | (push & (st["n"] >= cap))
+            return nst
+
         st = jax.lax.while_loop(cond, body, state)
         steps = jnp.zeros((), jnp.int32)
         unfinished = jnp.zeros((), bool)
+        cb, n_out, overflow = st["cbuf"], st["n"], st["overflow"]
     else:
         state["steps"] = jnp.zeros((), jnp.int32)
+        state["rec"] = jnp.zeros((max_steps, N, 6), it)
 
         def fbody(t, st):
             active = jnp.any(st["phase"] < 2)
-            steps = st.pop("steps") + active.astype(jnp.int32)
-            st = body(st)
-            st["steps"] = steps
-            return st
+            steps = st["steps"] + active.astype(jnp.int32)
+            rec = st["rec"]
+            nst, push, vals = core(st)
+            row = jnp.concatenate([push[:, None].astype(it), vals],
+                                  axis=-1)
+            z = jnp.zeros_like(t)
+            nst["rec"] = jax.lax.dynamic_update_slice(
+                rec, row[None], (t, z, z))
+            nst["steps"] = steps
+            return nst
 
         st = jax.lax.fori_loop(0, max_steps, fbody, state, unroll=4)
         steps = st["steps"]
         unfinished = jnp.any(st["phase"] < 2)
-    cb = st["cbuf"]
+        # journal -> per-lane candidate grid: ONE scatter for the whole
+        # scan instead of one per step
+        P = jnp.transpose(st["rec"], (1, 0, 2))       # [N, T, 6]
+        push = P[:, :, 0] > 0
+        ord_slot = jnp.cumsum(push.astype(jnp.int32), axis=1) - 1
+        n_out = push.sum(axis=1).astype(jnp.int32)
+        overflow = n_out > cap
+        n_out = jnp.minimum(n_out, cap)
+        rowsT = jnp.broadcast_to(rows[:, None], (N, max_steps))
+        slot = jnp.where(push & (ord_slot < cap), ord_slot, cap)
+        cb = jnp.zeros((N, cap, 5), it).at[rowsT, slot, :].set(
+            P[:, :, 1:6], mode="drop")
     return Candidates(cb[:, :, 0], cb[:, :, 1], cb[:, :, 2],
                       cb[:, :, 3].astype(jnp.int32),
-                      cb[:, :, 4].astype(jnp.int32), st["n"],
-                      st["overflow"], steps, unfinished)
+                      cb[:, :, 4].astype(jnp.int32), n_out,
+                      overflow, steps, unfinished)
 
 
 def back_extend(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
@@ -519,14 +546,12 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         phase=jnp.where(l_seq > 0, 0, 2).astype(jnp.int32),
         x=jnp.zeros((N,), jnp.int32), i=jnp.zeros((N,), jnp.int32),
         ik0=zero_t, ik1=zero_t, ik2=zero_t,
-        obuf=jnp.zeros((N, cap, 4), it),
-        n=jnp.zeros((N,), jnp.int32), overflow=jnp.zeros((N,), bool),
     )
 
     def cond(st):
         return jnp.any(st["phase"] < 2)
 
-    def body(st):
+    def core(st):
         phase, x, i = st["phase"], st["x"], st["i"]
         ik0, ik1, ik2 = st["ik0"], st["ik1"], st["ik2"]
 
@@ -567,12 +592,8 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         hit = do_ext & (e2 < mi) & ((i - x) >= min_len)
         emit = hit & (e2 > 0)
 
-        slot = jnp.where(emit & (st["n"] < cap), st["n"], cap)
         vals = jnp.stack([e0, e2, x.astype(it), (i + 1).astype(it)],
                          axis=-1)
-        obuf = st["obuf"].at[rows, slot, :].set(vals, mode="drop")
-        n = st["n"] + (emit & (st["n"] < cap)).astype(jnp.int32)
-        overflow = st["overflow"] | (emit & (st["n"] >= cap))
 
         cont = do_ext & ~hit
         ik0 = jnp.where(cont, e0, ik0)
@@ -585,29 +606,59 @@ def pass3_scan(fm: fmops.FM, seq: jax.Array, l_seq: jax.Array,
         x = jnp.where(amb | hit, i + 1, x)
         phase = jnp.where(finish, jnp.where(at_end | (x >= l_seq), 2, 0),
                           phase)
-        return dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2,
-                    obuf=obuf, n=n, overflow=overflow)
+        return (dict(phase=phase, x=x, i=i, ik0=ik0, ik1=ik1, ik2=ik2),
+                emit, vals)
 
     if max_steps is None:
+        state.update(obuf=jnp.zeros((N, cap, 4), it),
+                     n=jnp.zeros((N,), jnp.int32),
+                     overflow=jnp.zeros((N,), bool))
+
+        def body(st):
+            nst, emit, vals = core(st)
+            slot = jnp.where(emit & (st["n"] < cap), st["n"], cap)
+            nst["obuf"] = st["obuf"].at[rows, slot, :].set(vals,
+                                                           mode="drop")
+            nst["n"] = st["n"] + (emit & (st["n"] < cap)).astype(jnp.int32)
+            nst["overflow"] = st["overflow"] | (emit & (st["n"] >= cap))
+            return nst
+
         st = jax.lax.while_loop(cond, body, state)
         steps = jnp.zeros((), jnp.int32)
         unfinished = jnp.zeros((), bool)
+        ob, n_out, overflow = st["obuf"], st["n"], st["overflow"]
     else:
         state["steps"] = jnp.zeros((), jnp.int32)
+        state["rec"] = jnp.zeros((max_steps, N, 5), it)
 
         def fbody(t, st):
             active = jnp.any(st["phase"] < 2)
-            steps = st.pop("steps") + active.astype(jnp.int32)
-            st = body(st)
-            st["steps"] = steps
-            return st
+            steps = st["steps"] + active.astype(jnp.int32)
+            rec = st["rec"]
+            nst, emit, vals = core(st)
+            row = jnp.concatenate([emit[:, None].astype(it), vals],
+                                  axis=-1)
+            z = jnp.zeros_like(t)
+            nst["rec"] = jax.lax.dynamic_update_slice(
+                rec, row[None], (t, z, z))
+            nst["steps"] = steps
+            return nst
 
         st = jax.lax.fori_loop(0, max_steps, fbody, state, unroll=4)
         steps = st["steps"]
         unfinished = jnp.any(st["phase"] < 2)
-    ob = st["obuf"]
+        P = jnp.transpose(st["rec"], (1, 0, 2))       # [N, T, 5]
+        emitm = P[:, :, 0] > 0
+        ord_slot = jnp.cumsum(emitm.astype(jnp.int32), axis=1) - 1
+        n_out = emitm.sum(axis=1).astype(jnp.int32)
+        overflow = n_out > cap
+        n_out = jnp.minimum(n_out, cap)
+        rowsT = jnp.broadcast_to(rows[:, None], (N, max_steps))
+        slot = jnp.where(emitm & (ord_slot < cap), ord_slot, cap)
+        ob = jnp.zeros((N, cap, 4), it).at[rowsT, slot, :].set(
+            P[:, :, 1:5], mode="drop")
     return (ob[:, :, 0], ob[:, :, 1], ob[:, :, 2].astype(jnp.int32),
-            ob[:, :, 3].astype(jnp.int32), st["n"], st["overflow"],
+            ob[:, :, 3].astype(jnp.int32), n_out, overflow,
             steps, unfinished)
 
 

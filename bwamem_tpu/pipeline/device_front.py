@@ -33,9 +33,9 @@ to the reference.
 
 Reads that overflow the static caps (seed count > S) and long reads that
 enter mem_flt_chained_seeds (bwamem.c:607-625) fall back to the
-host-compacted path row-by-row.  The mesh (multi-chip) production path also
-still runs the host-compacted front; it moves here with the multi-host
-work.
+host-compacted path row-by-row.  Under a multi-chip mesh the six programs
+run shard-mapped with shard-local arenas (_dispatch_mesh) and the host
+merges the per-shard arenas before the replay.
 """
 from __future__ import annotations
 
@@ -80,9 +80,7 @@ def _stage_ladder(base: int, width: int):
     return tuple(max(base >> j, 512) for j in range(3))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cap", "kmax", "emax", "min_seed_len", "use_kmer", "b1s", "t1s"))
-def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
+def _p1_body(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
             b1s, t1s):
     N, L = seq.shape
     it = fm.L2.dtype
@@ -135,10 +133,7 @@ def _p1_jit(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
 # P2: re-seeding of long low-occurrence SMEMs (bwamem.c:155-165)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "pmax", "cand2", "k2max", "e2max", "min_seed_len", "split_len",
-    "split_width", "b2s", "t2s"))
-def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
+def _p2_body(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
             min_seed_len, split_len, split_width, b2s, t2s):
     it = fm.L2.dtype
     i32 = jnp.int32
@@ -200,9 +195,7 @@ def _p2_jit(fm, seq, l_seq, sec1, n1, *, pmax, cand2, k2max, e2max,
 # P3: LAST-like forward-only pass (bwt_seed_strategy1, bwt.c:358-379)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "p3cap", "e3max", "min_seed_len", "max_mem_intv", "use_kmer", "t3s"))
-def _p3_jit(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
+def _p3_body(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
             use_kmer, t3s):
     N, L = seq.shape
     it = fm.L2.dtype
@@ -231,9 +224,7 @@ def _p3_jit(fm, seq, l_seq, *, p3cap, e3max, min_seed_len, max_mem_intv,
 # EXPAND: flat intervals → per-read seed grids
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_occ", "a_seed", "s_cap",
-                                             "n_reads"))
-def _expand_jit(fm, ctg_offsets, sec1, n1, sec2, n2, sec3, n3, *, max_occ,
+def _expand_body(fm, ctg_offsets, sec1, n1, sec2, n2, sec3, n3, *, max_occ,
                 a_seed, s_cap, n_reads):
     it = fm.L2.dtype
     i32 = jnp.int32
@@ -337,10 +328,7 @@ def _expand_jit(fm, ctg_offsets, sec1, n1, sec2, n2, sec3, n3, *, max_occ,
 # CHAIN: lockstep chaining + weights + windows + compact arenas
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=(
-    "w", "max_chain_gap", "chain_cap", "a_ch", "a_it", "min_chain_weight",
-    "o_del", "e_del", "o_ins", "e_ins", "a"))
-def _chain_jit(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *, w,
+def _chain_body(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, *, w,
                max_chain_gap, chain_cap, a_ch, a_it, min_chain_weight,
                a, o_del, e_del, o_ins, e_ins):
     i32 = jnp.int32
@@ -469,10 +457,7 @@ def _ext_kernel(qT, qlen, tT, tlen, h0, eb, *, w_opt, lq_max, t_max, use_pl,
     return res, retry.astype(i32)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "lq_max", "t_max", "mat_bytes", "o_del", "e_del", "o_ins", "e_ins",
-    "zdrop", "w_opt", "a", "pen_clip5", "pen_clip3", "interpret", "use_pl"))
-def _ext_jit(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
+def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
              seeds_rbeg, items32, items_it, *, lq_max, t_max, mat_bytes,
              o_del, e_del, o_ins, e_ins, zdrop, w_opt, a, pen_clip5,
              pen_clip3, interpret=False, use_pl=True):
@@ -556,6 +541,73 @@ def _ext_jit(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
                        truesc_f, n_w, seedcov])
     out_it = jnp.stack([i_rbeg, n_rb.astype(it), n_re.astype(it)])
     return out32, out_it
+
+
+# single-chip jitted entry points (the mesh path shard-maps the raw bodies)
+_p1_jit = functools.partial(jax.jit, static_argnames=(
+    "cap", "kmax", "emax", "min_seed_len", "use_kmer", "b1s",
+    "t1s"))(_p1_body)
+_p2_jit = functools.partial(jax.jit, static_argnames=(
+    "pmax", "cand2", "k2max", "e2max", "min_seed_len", "split_len",
+    "split_width", "b2s", "t2s"))(_p2_body)
+_p3_jit = functools.partial(jax.jit, static_argnames=(
+    "p3cap", "e3max", "min_seed_len", "max_mem_intv", "use_kmer",
+    "t3s"))(_p3_body)
+_expand_jit = functools.partial(jax.jit, static_argnames=(
+    "max_occ", "a_seed", "s_cap", "n_reads"))(_expand_body)
+_chain_jit = functools.partial(jax.jit, static_argnames=(
+    "w", "max_chain_gap", "chain_cap", "a_ch", "a_it", "min_chain_weight",
+    "o_del", "e_del", "o_ins", "e_ins", "a"))(_chain_body)
+_ext_jit = functools.partial(jax.jit, static_argnames=(
+    "lq_max", "t_max", "mat_bytes", "o_del", "e_del", "o_ins", "e_ins",
+    "zdrop", "w_opt", "a", "pen_clip5", "pen_clip3", "interpret",
+    "use_pl"))(_ext_body)
+
+
+# ---------------------------------------------------------------------------
+# Mesh (multi-chip) dispatch: the same six programs shard-mapped over a
+# data-parallel mesh — reads sharded on their leading axis, the FM index
+# replicated on every chip, every arena shard-local (parallel/mesh AXIS
+# model; reference analog: one aligner instance per GPU with a per-GPU
+# index copy, cuda/streams.cu:16-104,307-318).  Per-shard metas come back
+# stacked [8, n_shards]; front_finish combines them (bitwise-OR for flag
+# slots, max elsewhere) and merges the per-shard arenas into the global
+# read-major layout the host replay expects.
+# ---------------------------------------------------------------------------
+
+def _p1_mesh(fm, seq, l_seq, **kw):
+    sec1, m1 = _p1_body(fm, seq, l_seq, **kw)
+    return sec1, m1[:, None]
+
+
+def _p2_mesh(fm, seq, l_seq, sec1, m1, **kw):
+    sec2, m2 = _p2_body(fm, seq, l_seq, sec1, m1[0, 0], **kw)
+    return sec2, m2[:, None]
+
+
+def _p3_mesh(fm, seq, l_seq, **kw):
+    sec3, m3 = _p3_body(fm, seq, l_seq, **kw)
+    return sec3, m3[:, None]
+
+
+def _expand_mesh(fm, ctg_offsets, sec1, m1, sec2, m2, sec3, m3, **kw):
+    seeds, seed_cnt, l_rep, m4 = _expand_body(
+        fm, ctg_offsets, sec1, m1[0, 0], sec2, m2[0, 0], sec3, m3[0, 0],
+        **kw)
+    return seeds, seed_cnt, l_rep, m4[:, None]
+
+
+def _chain_mesh(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, **kw):
+    seed_chain, items32, items_it, chain32, c_pos, m5 = _chain_body(
+        fm, ctg_offsets, ctg_is_alt, seeds, l_seq, **kw)
+    return (seed_chain, items32, items_it, chain32, c_pos[None, :],
+            m5[:, None])
+
+
+def _ext_mesh(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
+              seeds_len, seeds_rbeg, items32, items_it, **kw):
+    return _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
+                     seeds_len, seeds_rbeg, items32, items_it, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -687,10 +739,17 @@ def gate_rows(opt: MemOptions, reads) -> set:
     return rows
 
 
+def _mesh_nsh(al) -> int:
+    mesh = getattr(al, "mesh", None)
+    return 1 if mesh is None else int(mesh.devices.size)
+
+
 def supported(al, reads) -> bool:
     """Whether this batch can take the device front (the host-compacted
-    path remains for meshes and pathological score ranges)."""
-    if getattr(al, "mesh", None) is not None:
+    path remains for pathological score ranges).  Under a mesh the six
+    programs run shard-mapped (see _dispatch_mesh)."""
+    nsh = _mesh_nsh(al)
+    if nsh > 1 and _bucket(len(reads), lo=8) < nsh:
         return False
     mat_max = int(np.max(np.asarray(al.opt.mat)))
     Lr = max((r.l_seq for r in reads), default=0)
@@ -709,7 +768,9 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     opt: MemOptions = al.opt
     n = len(reads)
     N, Lr = seq.shape
-    hist, sizes = _sizes_for(al, N, Lr)
+    nsh = _mesh_nsh(al)
+    Nkey = N // nsh           # per-shard batch rows = sizing/hwm key
+    hist, sizes = _sizes_for(al, Nkey, Lr)
     use_kmer = (al.fm.kmer is not None
                 and getattr(opt, "use_kmer_table", True)
                 and opt.min_seed_len >= smemops.KMER_K)
@@ -731,7 +792,7 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     # max span, m5[6]); the first batch uses the conservative chain-span
     # bound L + w + 2*cal_max_gap_bound (bwamem.c:648-666 windows over
     # test_and_merge-compatible seeds, |x-y| <= w)
-    h_ts = hist.get(("hwm", "t_span", N))
+    h_ts = hist.get(("hwm", "t_span", Nkey))
     gmax = min(max((Lr * opt.a - min(opt.o_del, opt.o_ins))
                    // min(opt.e_del, opt.e_ins) + 1, 1), 2 * opt.w)
     bound = Lr + opt.w + 2 * gmax + 8
@@ -748,7 +809,8 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                 pass
     return dict(abort=False, reads=reads, n=n, N=N, Lr=Lr, hist=hist,
                 sizes=sizes, use_kmer=use_kmer, fallback=fallback,
-                seq_dev=seq_dev, l_dev=l_dev, arrs=arrs)
+                seq_dev=seq_dev, l_dev=l_dev, arrs=arrs, nsh=nsh,
+                Nkey=Nkey)
 
 
 def front_finish(al, tok):
@@ -766,8 +828,13 @@ def front_finish(al, tok):
     hist, sizes, use_kmer = tok["hist"], tok["sizes"], tok["use_kmer"]
     fallback = tok["fallback"]
     seq_dev, l_dev = tok["seq_dev"], tok["l_dev"]
+    nsh, Nkey = tok.get("nsh", 1), tok.get("Nkey", N)
     meta_all, out32, out_it, chain32, c_pos, scl = tok["arrs"]
 
+    # meta slots holding bit-flags (combined across shards with OR; every
+    # other slot is a count/hwm and combines with max)
+    _FLAG_SLOTS = (1, 9, 17, 24, 32, 33, 34)
+    meta_st = None
     while True:
         with timers.section("front.fetch"):
             for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
@@ -776,6 +843,11 @@ def front_finish(al, tok):
                 except Exception:
                     pass
             meta_all = np.asarray(meta_all)
+            if nsh > 1:
+                meta_st = meta_all                      # [40, nsh]
+                meta_all = meta_st.max(axis=1)
+                for sl in _FLAG_SLOTS:
+                    meta_all[sl] = np.bitwise_or.reduce(meta_st[sl])
             m1, m2, m3, m4, m5 = (meta_all[8 * k: 8 * k + 8]
                                   for k in range(5))
             grow = []
@@ -794,7 +866,7 @@ def front_finish(al, tok):
                 # an extension window exceeded the hwm-sized t_max: results
                 # would be silently truncated — grow and rerun
                 sizes["t_span"] = _bucket(int(m5[6]), lo=128)
-                _note_hwm(hist, N, t_span=m5[6])
+                _note_hwm(hist, Nkey, t_span=m5[6])
                 grow.append(None)
             if grow:
                 for g in grow:
@@ -815,7 +887,7 @@ def front_finish(al, tok):
                              + c_pos.nbytes + scl.nbytes + meta_all.nbytes)
         break
 
-    if _note_hwm(hist, N, cap=m1[2], kmax=m1[3], emax=m1[4],
+    if _note_hwm(hist, Nkey, cap=m1[2], kmax=m1[3], emax=m1[4],
                  pmax=m2[2], cand2=m2[3], k2max=m2[4], e2max=m2[5],
                  p3cap=m3[2], e3max=m3[3],
                  a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
@@ -825,13 +897,41 @@ def front_finish(al, tok):
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
 
-    n_ch, n_it = int(m5[3]), int(m5[4])
-    seed_cnt = scl[:N].astype(np.int64)
-    l_rep = scl[N: 2 * N]
-    I32 = out32[:, :n_it]
-    IIT = out_it[:, :n_it]
-    CH32 = chain32[:, :n_ch]
-    CHPOS = c_pos[:n_ch]
+    seed_cnt = scl[0].astype(np.int64)
+    l_rep = scl[1]
+    if nsh > 1:
+        # merge the per-shard arenas into the global read-major layout:
+        # shard s holds reads [s*Ns, (s+1)*Ns) with shard-local read ids
+        Ns = N // nsh
+        a_it = out32.shape[1] // nsh
+        a_ch = chain32.shape[1] // nsh
+        nit_s = meta_st[36].astype(np.int64)     # m5[4] per shard
+        nch_s = meta_st[35].astype(np.int64)     # m5[3] per shard
+        I = out32.reshape(11, nsh, a_it)
+        T = out_it.reshape(out_it.shape[0], nsh, a_it)
+        Cc = chain32.reshape(5, nsh, a_ch)
+        Pp = c_pos.reshape(nsh, a_ch)
+        i32p, itp, chp, pp = [], [], [], []
+        for s in range(nsh):
+            ni, nc = int(nit_s[s]), int(nch_s[s])
+            blk = I[:, s, :ni].copy()
+            blk[0] += s * Ns
+            i32p.append(blk)
+            itp.append(T[:, s, :ni])
+            cb = Cc[:, s, :nc].copy()
+            cb[0] += s * Ns
+            chp.append(cb)
+            pp.append(Pp[s, :nc])
+        I32 = np.concatenate(i32p, axis=1)
+        IIT = np.concatenate(itp, axis=1)
+        CH32 = np.concatenate(chp, axis=1)
+        CHPOS = np.concatenate(pp)
+    else:
+        n_ch, n_it = int(m5[3]), int(m5[4])
+        I32 = out32[:, :n_it]
+        IIT = out_it[:, :n_it]
+        CH32 = chain32[:, :n_ch]
+        CHPOS = c_pos[:n_ch]
 
     for i in np.nonzero(seed_cnt[:n] > sizes["s_cap"])[0]:
         fallback.add(int(i))
@@ -874,6 +974,9 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
               pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
               use_pl=not _shapes._is_cpu())
 
+    if _mesh_nsh(al) > 1:
+        return _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6)
+
     timers.count("dispatch.front", 6)
     sec1, m1 = _p1_jit(al.fm, seq_dev, l_dev, **s1)
     sec2, m2 = _p2_jit(al.fm, seq_dev, l_dev, sec1, m1[0], **s2)
@@ -887,7 +990,53 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
                              items_it, **s6)
     it = np.asarray(al.fm.L2).dtype
     meta_all = jnp.concatenate([m1, m2, m3, m4, m5])
-    scl = jnp.concatenate([seed_cnt.astype(it), l_rep])
+    scl = jnp.stack([seed_cnt.astype(it), l_rep])
+    return meta_all, out32, out_it, chain32, c_pos, scl
+
+
+def _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6):
+    """Shard-mapped dispatch of the six front programs over al.mesh: reads
+    data-parallel on their leading axis, FM replicated, arenas shard-local
+    (the parallel/mesh AXIS model; reference: per-GPU index + sharded
+    minibatches, cuda/streams.cu:16-104,307-318).  Outputs keep the
+    stacked per-shard layout — front_finish merges them."""
+    from bwamem_tpu.parallel import mesh as pmesh
+    mesh = al.mesh
+    nsh = int(mesh.devices.size)
+    s4 = dict(s4, n_reads=s4["n_reads"] // nsh)
+    timers.count("dispatch.front", 6)
+
+    def t(d):
+        return tuple(sorted(d.items()))
+
+    sec1, m1 = pmesh.rowmap(
+        mesh, _p1_mesh, t(s1), (True, False, False),
+        out_mask=("ax1", "ax1"))(al.fm, seq_dev, l_dev)
+    sec2, m2 = pmesh.rowmap(
+        mesh, _p2_mesh, t(s2), (True, False, False, "ax1", "ax1"),
+        out_mask=("ax1", "ax1"))(al.fm, seq_dev, l_dev, sec1, m1)
+    sec3, m3 = pmesh.rowmap(
+        mesh, _p3_mesh, t(s3), (True, False, False),
+        out_mask=("ax1", "ax1"))(al.fm, seq_dev, l_dev)
+    seeds, seed_cnt, l_rep, m4 = pmesh.rowmap(
+        mesh, _expand_mesh, t(s4),
+        (True, True, "ax1", "ax1", "ax1", "ax1", "ax1", "ax1"),
+        out_mask=(False, False, False, "ax1"))(
+            al.fm, al.ctg_offsets, sec1, m1, sec2, m2, sec3, m3)
+    seed_chain, items32, items_it, chain32, c_pos, m5 = pmesh.rowmap(
+        mesh, _chain_mesh, t(s5), (True, True, True, False, False),
+        out_mask=(False, "ax1", "ax1", "ax1", "ax1", "ax1"))(
+            al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev)
+    out32, out_it = pmesh.rowmap(
+        mesh, _ext_mesh, t(s6),
+        (True, False, False, False, False, False, False, False,
+         "ax1", "ax1"),
+        out_mask=("ax1", "ax1"))(
+            al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg,
+            seeds.len, seeds.rbeg, items32, items_it)
+    it = np.asarray(al.fm.L2).dtype
+    meta_all = jnp.concatenate([m1, m2, m3, m4, m5])   # [40, nsh]
+    scl = jnp.stack([seed_cnt.astype(it), l_rep])      # [2, N]
     return meta_all, out32, out_it, chain32, c_pos, scl
 
 
@@ -913,10 +1062,11 @@ def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
             if i < n:
                 skip[i] = 1
         l_seq = np.fromiter((r.l_seq for r in reads[:n]), np.int32, n)
-        out_base, out_m, out_rid = native.replay_batch(
-            ch_base, c_w, c_beg, c_end, (c_ra & 1).astype(np.uint8),
-            CHPOS, c_ra >> 1, it_base, i_chain, i_qbeg, i_len, i_rbeg,
-            n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt)
+        with timers.section("front.replay.native"):
+            out_base, out_m, out_rid = native.replay_batch(
+                ch_base, c_w, c_beg, c_end, (c_ra & 1).astype(np.uint8),
+                CHPOS, c_ra >> 1, it_base, i_chain, i_qbeg, i_len, i_rbeg,
+                n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt)
         # materialize AlnRegs (plain-python lists: ~1us/reg)
         qb_l = n_qb[out_m].tolist()
         qe_l = n_qe[out_m].tolist()
