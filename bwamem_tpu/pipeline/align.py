@@ -197,7 +197,7 @@ class Aligner:
         return dict(seq=seq, l_seq=l_seq, tok=tok)
 
     def _regs_from_device(self, reads: list[Read],
-                          front: dict | None = None
+                          front: dict | None = None, _prefetch=None
                           ) -> list[list[fin.AlnReg]]:
         """Device front half + flat speculative extension + the tail of
         mem_align1_core (dedup + is_alt, bwamem.c:1083-1095).  Returns
@@ -221,6 +221,13 @@ class Aligner:
                     out[i] = sub_regs[gi]
         else:
             out = self._regs_host_front(reads, seq=seq, l_seq=l_seq)
+        if _prefetch is not None:
+            # the device is idle for this batch from here on (the CIGAR
+            # phase runs in the native host kernel) — enqueue the NEXT
+            # batch's front now so the whole host tail overlaps device
+            # compute, not just phase C (cuda/minibatch_process.cpp:196-208
+            # gets the same effect from its input-async)
+            _prefetch()
         with timers.section("dedup.batch"):
             for i in range(n):
                 ri = fin.sort_dedup_patch(self.opt, self.pac, self.l_pac,
@@ -361,7 +368,13 @@ class Aligner:
         opt = self.opt
         if not reads:
             return []
-        all_regs = self._regs_from_device(reads, _front)
+        from bwamem_tpu import native
+        # with the native CIGAR kernel the device is done with this batch
+        # after the front fetch — prefetch the next front there; without it
+        # run_cigar_jobs still dispatches device programs, so the prefetch
+        # must wait until after them
+        early = _prefetch if native.available() else None
+        all_regs = self._regs_from_device(reads, _front, _prefetch=early)
         jobs: list[fin.CigarJob] = []
         sel, xa_jobs = [], []
         with timers.section("mark.batch"):
@@ -376,7 +389,7 @@ class Aligner:
         with timers.section("cigar.jobs"):
             fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
                                self._device_global)
-        if _prefetch is not None:
+        if _prefetch is not None and early is None:
             _prefetch()
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
         idxs = []

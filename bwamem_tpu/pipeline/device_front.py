@@ -463,12 +463,32 @@ def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
              pen_clip3, interpret=False, use_pl=True):
     """Fused left+right extension for the flat work items + per-item seedcov
     (mem_chain2aln extension body, bwamem.c:717-786).  Returns one stacked
-    i32 block [11, A] and one index-typed block [3, A]."""
+    i32 block [11, A] and one index-typed block [3, A] in the INPUT item
+    order."""
     i_read, i_slot, i_chain, i_qbeg, i_len = (items32[k] for k in range(5))
     i_rbeg, i_r0, i_r1 = (items_it[k] for k in range(3))
     i32 = jnp.int32
     it = seeds_rbeg.dtype
     B = i_read.shape[0]
+
+    # Sort the items by their extension-window size: each 128-lane kernel
+    # tile's while loop exits when all of ITS lanes finish, so grouping
+    # similar target lengths lets short tiles retire after ~their own tlen
+    # steps instead of the batch max (the reference gets the same effect
+    # from its w*rlen DeviceRadixSort before global SW,
+    # cuda/bwamem_GPU.cu:3811-3824).  Outputs are unsorted at the end; the
+    # two extra multi-operand sorts are ~free on this backend next to the
+    # per-step cost they remove.
+    ls_l = l_seq[jnp.clip(i_read, 0, l_seq.shape[0] - 1)].astype(i32)
+    klen_l = jnp.where(i_qbeg > 0, i_rbeg - i_r0, 0).astype(i32)
+    klen_r = jnp.where(i_qbeg + i_len < ls_l,
+                       (i_r1 - (i_rbeg + i_len)).astype(i32), 0)
+    skey = jnp.maximum(klen_l, klen_r)
+    pos0 = jnp.arange(B, dtype=i32)
+    (_, pos_s, i_read, i_slot, i_chain, i_qbeg, i_len, i_rbeg, i_r0,
+     i_r1) = jax.lax.sort(
+        (skey, pos0, i_read, i_slot, i_chain, i_qbeg, i_len, i_rbeg,
+         i_r0, i_r1), num_keys=1)
     kw = dict(mat_bytes=mat_bytes, o_del=o_del, e_del=e_del, o_ins=o_ins,
               e_ins=e_ins, zdrop=zdrop)
     kker = dict(w_opt=w_opt, lq_max=lq_max, t_max=t_max, use_pl=use_pl,
@@ -536,10 +556,17 @@ def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
            & (sd_rb + sd_len <= n_re[:, None].astype(it)))
     seedcov = jnp.where(cov, sd_len, 0).sum(axis=1, dtype=i32)
 
+    # restore the input item order (one multi-operand sort keyed on the
+    # pre-sort position)
+    (_, i_read, i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe, score_f,
+     truesc_f, n_w, seedcov, i_rbeg, n_rb, n_re) = jax.lax.sort(
+        (pos_s, i_read, i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe,
+         score_f, truesc_f, n_w, seedcov, i_rbeg, n_rb.astype(it),
+         n_re.astype(it)), num_keys=1)
     out32 = jnp.stack([i_read, i_slot, i_chain, i_qbeg, i_len,
                        n_qb.astype(i32), n_qe.astype(i32), score_f,
                        truesc_f, n_w, seedcov])
-    out_it = jnp.stack([i_rbeg, n_rb.astype(it), n_re.astype(it)])
+    out_it = jnp.stack([i_rbeg, n_rb, n_re])
     return out32, out_it
 
 
@@ -644,8 +671,11 @@ def _hist_load(al) -> dict:
         try:
             with open(path) as f:
                 for k, v in json.load(f).items():
-                    name, n = k.rsplit(":", 1)
-                    hist[("hwm", name, int(n))] = int(v)
+                    parts = k.split(":")
+                    if len(parts) != 3:     # legacy N-only keys: discard —
+                        continue            # they mix read-length classes
+                    name, n, lr = parts
+                    hist[("hwm", name, (int(n), int(lr)))] = int(v)
         except Exception:
             pass
     return hist
@@ -656,7 +686,8 @@ def _hist_save(al, hist: dict) -> None:
     if not path:
         return
     try:
-        data = {f"{k[1]}:{k[2]}": int(v) for k, v in hist.items()
+        data = {f"{k[1]}:{k[2][0]}:{k[2][1]}": int(v)
+                for k, v in hist.items()
                 if isinstance(k, tuple) and k[0] == "hwm"}
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         with os.fdopen(fd, "w") as f:
@@ -702,7 +733,7 @@ def _sizes_for(al, N: int, Lr: int):
               "t1s": 32, "t2s": 32, "t3s": 32}
     sizes = {}
     for k, d in defaults.items():
-        h = hist.get(("hwm", k, N))
+        h = hist.get(("hwm", k, (N, Lr)))
         if h is None:
             sizes[k] = d
         elif k in _GROWT:
@@ -769,8 +800,8 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     n = len(reads)
     N, Lr = seq.shape
     nsh = _mesh_nsh(al)
-    Nkey = N // nsh           # per-shard batch rows = sizing/hwm key
-    hist, sizes = _sizes_for(al, Nkey, Lr)
+    Nkey = (N // nsh, Lr)     # (per-shard rows, read-len bucket) hwm key
+    hist, sizes = _sizes_for(al, Nkey[0], Lr)
     use_kmer = (al.fm.kmer is not None
                 and getattr(opt, "use_kmer_table", True)
                 and opt.min_seed_len >= smemops.KMER_K)
@@ -828,7 +859,7 @@ def front_finish(al, tok):
     hist, sizes, use_kmer = tok["hist"], tok["sizes"], tok["use_kmer"]
     fallback = tok["fallback"]
     seq_dev, l_dev = tok["seq_dev"], tok["l_dev"]
-    nsh, Nkey = tok.get("nsh", 1), tok.get("Nkey", N)
+    nsh, Nkey = tok.get("nsh", 1), tok.get("Nkey", (N, Lr))
     meta_all, out32, out_it, chain32, c_pos, scl = tok["arrs"]
 
     # meta slots holding bit-flags (combined across shards with OR; every
