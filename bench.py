@@ -178,6 +178,42 @@ def main():
     pe_dt = time.perf_counter() - t0
     pe_rps = done / pe_dt
 
+    # PE per-stage breakdown of one steady-state batch (VERDICT r3 #6:
+    # "you cannot fix what you don't measure")
+    timers.enable()
+    timers.reset()
+    t0 = time.perf_counter()
+    al.align_batch_pe(pe_reads[:BATCH], 0)
+    pe_total = time.perf_counter() - t0
+    snap = timers.snapshot()
+    timers.enable(False)
+    pe_stage = {k: round(1e3 * v[1], 1) for k, v in snap.items()
+                if not k.endswith((".bytes", ".count")) and k != "counts"}
+    pe_stage["total"] = round(1e3 * pe_total, 1)
+
+    # speculative-extension waste (VERDICT r3 #8): device lanes extended
+    # vs items surviving the exact chain filter + skip/accept replay
+    ei = counts.get("ext.items.count")
+    ea = counts.get("ext.accepted.count")
+    spec_waste = round(ei / ea, 2) if ei and ea else None
+
+    # chip-gated Mosaic parity (VERDICT r3 #7): run the extension-kernel
+    # oracle corpus through the real Mosaic lowering on this device and
+    # diff against the XLA path
+    import jax
+    pallas_ok = None
+    if jax.default_backend() != "cpu":
+        sys.path.insert(0, str(REPO / "tests"))
+        try:
+            from test_extend import gen_cases, run_batch
+            from test_pallas_ext import run_batch_pl
+            cases = gen_cases(0, 200)
+            want = run_batch(cases)
+            got = run_batch_pl(cases, interpret=False)
+            pallas_ok = want == got
+        except Exception as e:
+            pallas_ok = f"error: {type(e).__name__}: {e}"
+
     nthreads = os.cpu_count() or 1
     base_tn = (cpu_baseline(prefix, fa, fq, nthreads) if nthreads > 1
                else base_rps)
@@ -192,7 +228,10 @@ def main():
             "metric": "reads_per_sec_pe_150bp_5Mbp",
             "value": round(pe_rps, 2),
             "vs_baseline": round(pe_rps / pe_base, 3),
+            "stage_ms": pe_stage,
         },
+        "spec_ext_waste": spec_waste,
+        "pallas_on_chip": pallas_ok,
         "stage_ms": {c: round(1e3 * ph[c], 1) for c in tcols},
         "dispatches_per_batch": counts,
         "d2h_mb_per_batch": mbs,

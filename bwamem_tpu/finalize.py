@@ -677,6 +677,108 @@ def _nm_md(cigar: list, qseg: np.ndarray, rseq: np.ndarray,
     return n_mm + n_gap, "".join(md)
 
 
+def _approx_mapq_se_vec(opt: MemOptions, score, sub0, csub, sub_n, qb, qe,
+                        rb, re, seedcov, frac_rep) -> np.ndarray:
+    """Vectorized mem_approx_mapq_se (bwamem.c:962-986) over job arrays.
+    Bit-identical to approx_mapq_se: every int() there truncates a
+    non-negative float, which matches numpy's float->int cast."""
+    f8 = np.float64
+    sub = np.where(sub0 != 0, sub0, opt.min_seed_len * opt.a)
+    sub = np.maximum(csub, sub)
+    ln = np.maximum(qe - qb, re - rb).astype(f8)
+    ln = np.maximum(ln, 1)                       # guard: qe>qb always holds
+    identity = 1.0 - (ln * opt.a - score) / (opt.a + opt.b) / ln
+    if opt.mapQ_coef_len > 0:
+        tmp = np.where(ln < opt.mapQ_coef_len, 1.0,
+                       opt.mapQ_coef_fac / np.log(ln))
+        tmp = tmp * identity * identity
+        mapq = (6.02 * (score - sub) / opt.a * tmp * tmp + .499).astype(
+            np.int64)
+    else:
+        mapq = (30.0 * (1. - sub / np.maximum(score, 1))
+                * np.log(np.maximum(seedcov, 1)) + .499).astype(np.int64)
+        shrink = (mapq * identity * identity + .499).astype(np.int64)
+        mapq = np.where(identity < 0.95, shrink, mapq)
+    mapq = mapq - np.where(sub_n > 0,
+                           (4.343 * np.log(sub_n + 1.0)
+                            + .499).astype(np.int64), 0)
+    mapq = np.clip(mapq, 0, 60)
+    mapq = ((mapq * (1.0 - frac_rep)) + .499).astype(np.int64)
+    mapq = np.where((score == 0) | (sub >= score), 0, mapq)
+    return mapq
+
+
+def finish_jobs(opt: MemOptions, ctg_offsets: np.ndarray, l_pac: int,
+                jobs: list[CigarJob]) -> list[Aln]:
+    """Batched reg2aln_finish over EVERY job of a batch: one pass extracts
+    the reg fields, the mapq/pos arithmetic runs vectorized, and only the
+    short cigar clip/squeeze list work stays per record (mem_reg2aln tail,
+    bwamem.c:1127-1168).  Each job index is consumed at most once by the
+    phase-C assemblers, so the returned Aln objects are safe to mutate."""
+    n = len(jobs)
+    if n == 0:
+        return []
+    i8 = np.int64
+    score = np.fromiter((j.reg.score for j in jobs), i8, n)
+    sub0 = np.fromiter((j.reg.sub for j in jobs), i8, n)
+    csub = np.fromiter((j.reg.csub for j in jobs), i8, n)
+    sub_n = np.fromiter((j.reg.sub_n for j in jobs), i8, n)
+    qb = np.fromiter((j.reg.qb for j in jobs), i8, n)
+    qe = np.fromiter((j.reg.qe for j in jobs), i8, n)
+    rb = np.fromiter((j.reg.rb for j in jobs), i8, n)
+    re_ = np.fromiter((j.reg.re for j in jobs), i8, n)
+    seedcov = np.fromiter((j.reg.seedcov for j in jobs), i8, n)
+    frac_rep = np.fromiter((j.reg.frac_rep for j in jobs), np.float64, n)
+    secondary = np.fromiter((j.reg.secondary for j in jobs), i8, n)
+    rid = np.fromiter((j.reg.rid for j in jobs), i8, n)
+
+    mapq = _approx_mapq_se_vec(opt, score, sub0, csub, sub_n, qb, qe, rb,
+                               re_, seedcov, frac_rep)
+    mapq = np.where(secondary >= 0, 0, mapq)
+    is_rev = rb >= l_pac
+    pos0 = np.where(is_rev, 2 * l_pac - 1 - (re_ - 1), rb)
+    pos_rel = pos0 - ctg_offsets[np.clip(rid, 0, None)]
+    submax = np.maximum(sub0, csub)
+
+    out = []
+    for b, j in enumerate(jobs):
+        ar = j.reg
+        a = Aln()
+        a.mapq = int(mapq[b])
+        if secondary[b] >= 0:
+            a.flag |= 0x100
+        rev = bool(is_rev[b])
+        if j.nm_md is not None:
+            a.NM, a.MD = j.nm_md
+        else:
+            a.NM, a.MD = _nm_md(j.cigar, j.qseg, j.rseq, rev)
+        cigar = list(j.cigar)
+        pos = int(pos_rel[b])
+        a.is_rev = int(rev)
+        if cigar:
+            if cigar[0][0] == 2:               # leading deletion
+                pos += cigar[0][1]
+                cigar = cigar[1:]
+            elif cigar[-1][0] == 2:            # trailing deletion
+                cigar = cigar[:-1]
+        if ar.qb != 0 or ar.qe != j.l_query:
+            clip5 = j.l_query - ar.qe if rev else ar.qb
+            clip3 = ar.qb if rev else j.l_query - ar.qe
+            if clip5:
+                cigar = [(3, clip5)] + cigar
+            if clip3:
+                cigar = cigar + [(3, clip3)]
+        a.cigar = cigar
+        a.rid = int(rid[b])
+        a.pos = pos
+        a.score = ar.score
+        a.sub = int(submax[b])
+        a.is_alt = ar.is_alt
+        a.alt_sc = ar.alt_sc
+        out.append(a)
+    return out
+
+
 def reg2aln_finish(opt: MemOptions, ctg_offsets: np.ndarray, l_pac: int,
                    job: CigarJob) -> Aln:
     """The post-DP part of mem_reg2aln (bwamem.c:1127-1168): NM/MD, strand

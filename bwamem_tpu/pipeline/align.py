@@ -213,7 +213,14 @@ class Aligner:
             front = self.begin_batch(reads)
         seq, l_seq = front["seq"], front["l_seq"]
         if front["tok"] is not None:
-            out, fb_rows = device_front.front_finish(self, front["tok"])
+            # dispatch the NEXT batch's front right before this batch's
+            # blocking fetch: the device queue drains from this batch's
+            # programs straight into the next batch's with zero idle (the
+            # reference's input/compute/output overlap,
+            # cuda/minibatch_process.cpp:196-208, minus the threads)
+            out, fb_rows = device_front.front_finish(self, front["tok"],
+                                                     _early=_prefetch)
+            _prefetch = None
             if fb_rows:
                 sub = [reads[i] for i in fb_rows]
                 sub_regs = self._regs_host_front(sub)
@@ -222,11 +229,7 @@ class Aligner:
         else:
             out = self._regs_host_front(reads, seq=seq, l_seq=l_seq)
         if _prefetch is not None:
-            # the device is idle for this batch from here on (the CIGAR
-            # phase runs in the native host kernel) — enqueue the NEXT
-            # batch's front now so the whole host tail overlaps device
-            # compute, not just phase C (cuda/minibatch_process.cpp:196-208
-            # gets the same effect from its input-async)
+            # host-front path: the device is idle once the front is done
             _prefetch()
         with timers.section("dedup.batch"):
             for i in range(n):
@@ -310,12 +313,12 @@ class Aligner:
             picks.append((k, len(jobs) - 1))
         return picks
 
-    def _xa_strings(self, xas, jobs):
-        """mem_gen_alt rendering (bwamem_extra.c:142-160)."""
+    def _xa_strings(self, xas, fins):
+        """mem_gen_alt rendering (bwamem_extra.c:142-160).  `fins` is the
+        batched finish_jobs output, aligned with the job list."""
         xa_by_pri: dict[int, list[str]] = {}
         for k, r, jidx in xas:
-            t = fin.reg2aln_finish(self.opt, self.ctg_offsets_np,
-                                   self.l_pac, jobs[jidx])
+            t = fins[jidx]
             cig = "".join(f"{ln}{'MIDSHN'[op]}" for op, ln in t.cigar)
             entry = (f"{self.ctg_names[t.rid]},{'+-'[t.is_rev]}"
                      f"{t.pos + 1},{cig},{t.NM}")
@@ -324,7 +327,7 @@ class Aligner:
             xa_by_pri.setdefault(r, []).append(entry + ";")
         return xa_by_pri
 
-    def _phaseC_reg2sam(self, read, regs, picks, xa_by_pri, jobs,
+    def _phaseC_reg2sam(self, read, regs, picks, xa_by_pri, fins,
                         extra_flag, mate, sb):
         """mem_reg2sam phase C (bwamem.c:1025-1056).  Lines are enqueued on
         the SamBatch; returns the line indices for this read."""
@@ -332,8 +335,7 @@ class Aligner:
         alns: list[fin.Aln] = []
         for k, jidx in picks:
             p = regs[k]
-            q = fin.reg2aln_finish(opt, self.ctg_offsets_np, self.l_pac,
-                                   jobs[jidx])
+            q = fins[jidx]
             assert q.rid >= 0
             if k in xa_by_pri:
                 q.XA = "".join(xa_by_pri[k])
@@ -394,10 +396,12 @@ class Aligner:
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
         idxs = []
         with timers.section("phaseC.batch"):
+            fins = fin.finish_jobs(opt, self.ctg_offsets_np, self.l_pac,
+                                   jobs)
             for i, regs in enumerate(all_regs):
-                xa = self._xa_strings(xa_jobs[i], jobs)
+                xa = self._xa_strings(xa_jobs[i], fins)
                 idxs.append(self._phaseC_reg2sam(reads[i], regs, sel[i], xa,
-                                                 jobs, 0, None, sb))
+                                                 fins, 0, None, sb))
         with timers.section("sam.render"):
             lines = sb.render()
         return ["".join(lines[j] for j in ix) for ix in idxs]
@@ -502,13 +506,15 @@ class Aligner:
         if pes0 is not None:
             pes = pairmod.pes_from_spec(pes0)
         else:
-            pes = pairmod.pestat(
-                opt, self.l_pac,
-                [(all_regs[2 * p], all_regs[2 * p + 1])
-                 for p in range(n_pairs)])
+            with timers.section("pestat.batch"):
+                pes = pairmod.pestat(
+                    opt, self.l_pac,
+                    [(all_regs[2 * p], all_regs[2 * p + 1])
+                     for p in range(n_pairs)])
 
         if not (opt.flag & MEM_F_NO_RESCUE):
-            self._matesw_rounds(reads, all_regs, pes, n_pairs)
+            with timers.section("matesw.batch"):
+                self._matesw_rounds(reads, all_regs, pes, n_pairs)
 
         # per-pair phase A
         jobs: list[fin.CigarJob] = []
@@ -517,6 +523,7 @@ class Aligner:
             ids = [(((n_processed >> 1) + (e >> 1)) << 1) | (e & 1)
                    for e in range(2 * n_pairs)]
             n_pri_all = fin.mark_primary_many(opt, all_regs, ids)
+        _pair_t0 = timers.start("pair.batch")
         for p in range(n_pairs):
             pid = (n_processed >> 1) + p
             a = (all_regs[2 * p], all_regs[2 * p + 1])
@@ -635,6 +642,7 @@ class Aligner:
                 plan = dict(mode="un", n_pri=n_pri, extra=extra,
                             hjob=hjob, xa=xa, sel=sel)
             plans.append(plan)
+        timers.stop("pair.batch", _pair_t0)
 
         with timers.section("cigar.jobs"):
             fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
@@ -643,6 +651,7 @@ class Aligner:
             _prefetch()
 
         # phase C
+        fins = fin.finish_jobs(opt, self.ctg_offsets_np, self.l_pac, jobs)
         sb = samio.SamBatch(opt, self.ctg_names, rg_id, self.ctg_annos)
         idxs: list[list[int]] = [[] for _ in range(len(reads))]
         for p in range(n_pairs):
@@ -654,10 +663,8 @@ class Aligner:
                 h = [None, None]
                 aa = [[], []]
                 for i in range(2):
-                    xa_by_pri = self._xa_strings(plan["xa"][i], jobs)
-                    hi = fin.reg2aln_finish(opt, self.ctg_offsets_np,
-                                            self.l_pac,
-                                            jobs[plan["hjob"][i]])
+                    xa_by_pri = self._xa_strings(plan["xa"][i], fins)
+                    hi = fins[plan["hjob"][i]]
                     hi.mapq = q_se[i]
                     hi.flag |= (0x40 << i) | extra
                     if z[i] in xa_by_pri:
@@ -665,9 +672,7 @@ class Aligner:
                     h[i] = hi
                     aa[i].append(hi)
                     if plan["gjob"][i] is not None:
-                        gi = fin.reg2aln_finish(opt, self.ctg_offsets_np,
-                                                self.l_pac,
-                                                jobs[plan["gjob"][i]])
+                        gi = fins[plan["gjob"][i]]
                         gi.flag |= 0x800 | (0x40 << i) | extra
                         npr = plan["n_pri"][i]
                         if npr in xa_by_pri:
@@ -682,15 +687,13 @@ class Aligner:
                 h = [None, None]
                 for i in range(2):
                     if plan["hjob"][i] is not None:
-                        h[i] = fin.reg2aln_finish(opt, self.ctg_offsets_np,
-                                                  self.l_pac,
-                                                  jobs[plan["hjob"][i]])
+                        h[i] = fins[plan["hjob"][i]]
                     else:
                         h[i] = fin.unmapped_aln()
                 for i in range(2):
-                    xa_by_pri = self._xa_strings(plan["xa"][i], jobs)
+                    xa_by_pri = self._xa_strings(plan["xa"][i], fins)
                     idxs[2 * p + i] = self._phaseC_reg2sam(
-                        s[i], a[i], plan["sel"][i], xa_by_pri, jobs,
+                        s[i], a[i], plan["sel"][i], xa_by_pri, fins,
                         (0x41 if i == 0 else 0x81) | extra, h[1 - i], sb)
         with timers.section("sam.render"):
             lines = sb.render()

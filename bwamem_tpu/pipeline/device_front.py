@@ -74,10 +74,19 @@ def _bucket(x: int, lo: int = 8) -> int:
 
 def _stage_ladder(base: int, width: int):
     """Static halving arena ladder for back_extend_flat compaction; empty
-    for small batches (compaction overhead beats the win only at scale)."""
+    for small batches (compaction overhead beats the win only at scale).
+
+    Depth 8 (vs the former 3): candidate lifetimes are front-loaded
+    (median 6 left steps, p90 = 10), so after the old 3x4 staged steps the
+    closing while_loop still ran ~2% of the lanes at the FULL stage-3 width
+    for up to ~40 more steps — the per-index gather cost of those dead-heavy
+    rounds dominated the whole backward phase.  Deeper halving keeps the
+    arena tracking the survivor count; the extra compactions are
+    multi-operand sorts, which are near-free next to the gathers they
+    shrink."""
     if width < 8192:
         return ()
-    return tuple(max(base >> j, 512) for j in range(3))
+    return tuple(max(base >> j, 512) for j in range(8))
 
 
 def _p1_body(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
@@ -844,8 +853,14 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
                 Nkey=Nkey)
 
 
-def front_finish(al, tok):
+def front_finish(al, tok, _early=None):
     """Fetch + grow-and-retry + exact-filter replay for a front_start token.
+
+    `_early`: callback invoked right BEFORE the blocking fetch — the
+    stream driver dispatches the NEXT batch's front there, so the device
+    queue drains straight from this batch's programs into the next
+    batch's with zero idle (the fetch only waits on THIS batch's
+    programs, which are already ahead in the queue).
 
     Returns (regs_out, fallback_rows): per-read AlnReg lists in
     mem_chain2aln emission order (pre-dedup) for every read NOT in
@@ -862,6 +877,8 @@ def front_finish(al, tok):
     nsh, Nkey = tok.get("nsh", 1), tok.get("Nkey", (N, Lr))
     meta_all, out32, out_it, chain32, c_pos, scl = tok["arrs"]
 
+    if _early is not None:
+        _early()
     # meta slots holding bit-flags (combined across shards with OR; every
     # other slot is a count/hwm and combines with max)
     _FLAG_SLOTS = (1, 9, 17, 24, 32, 33, 34)
@@ -1098,6 +1115,10 @@ def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
                 ch_base, c_w, c_beg, c_end, (c_ra & 1).astype(np.uint8),
                 CHPOS, c_ra >> 1, it_base, i_chain, i_qbeg, i_len, i_rbeg,
                 n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt)
+        # speculative-extension waste accounting: lanes extended on device
+        # vs items surviving the exact filter + skip/accept walk
+        timers.count("ext.items", int(it_base[n]))
+        timers.count("ext.accepted", len(out_m))
         # materialize AlnRegs (plain-python lists: ~1us/reg)
         qb_l = n_qb[out_m].tolist()
         qe_l = n_qe[out_m].tolist()

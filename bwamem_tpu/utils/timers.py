@@ -58,6 +58,18 @@ def section(name: str):
     return run()
 
 
+def start(name: str) -> float:
+    """Paired with stop() for sections that cannot be a `with` block."""
+    return time.perf_counter() if _enabled else 0.0
+
+
+def stop(name: str, t0: float) -> None:
+    if _enabled:
+        a = _acc[name]
+        a[0] += 1
+        a[1] += time.perf_counter() - t0
+
+
 def add_bytes(name: str, nbytes: int) -> None:
     if _enabled:
         b = _bytes[name]

@@ -19,7 +19,7 @@ from bwamem_tpu.ops import pallas_ext
 from test_extend import gen_cases, run_batch, NT4
 
 
-def run_batch_pl(cases):
+def run_batch_pl(cases, interpret=True):
     B = len(cases)
     Bp = (B + pallas_ext.TB - 1) // pallas_ext.TB * pallas_ext.TB
     LQ = max(len(q) for _, _, _, q, _ in cases)
@@ -40,7 +40,8 @@ def run_batch_pl(cases):
         jnp.asarray(qT), jnp.asarray(qlen), jnp.asarray(tT),
         jnp.asarray(tlen), jnp.asarray(h0), jnp.asarray(w),
         jnp.asarray(eb), lq_max=LQ, t_max=T, mat_bytes=mat.tobytes(),
-        o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100, interpret=True)
+        o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100,
+        interpret=interpret)
     return [tuple(int(x[b]) for x in res) for b in range(B)]
 
 
