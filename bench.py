@@ -190,6 +190,7 @@ def main():
     pe_stage = {k: round(1e3 * v[1], 1) for k, v in snap.items()
                 if not k.endswith((".bytes", ".count")) and k != "counts"}
     pe_stage["total"] = round(1e3 * pe_total, 1)
+    pe_counts = {k: snap[k] for k in snap if k.endswith(".count")}
 
     # speculative-extension waste (VERDICT r3 #8): device lanes extended
     # vs items surviving the exact chain filter + skip/accept replay
@@ -229,6 +230,7 @@ def main():
             "value": round(pe_rps, 2),
             "vs_baseline": round(pe_rps / pe_base, 3),
             "stage_ms": pe_stage,
+            "counts": pe_counts,
         },
         "spec_ext_waste": spec_waste,
         "pallas_on_chip": pallas_ok,

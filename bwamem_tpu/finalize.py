@@ -52,9 +52,11 @@ def hash_64(key: int) -> int:
     return key
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class AlnReg:
-    """mem_alnreg_t (reference bwa.h:145-163)."""
+    """mem_alnreg_t (reference bwa.h:145-163).  slots: ~10k instances are
+    built per batch in the replay hot path; slotted dataclasses construct
+    ~2x faster and halve the per-instance memory."""
     rb: int = 0
     re: int = 0
     qb: int = 0
@@ -471,7 +473,7 @@ def infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
     return max(w, abs(l1 - l2))
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Aln:
     """mem_aln_t (reference bwa.h:166-177) + rendered MD."""
     pos: int = -1

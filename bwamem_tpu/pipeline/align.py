@@ -451,6 +451,8 @@ class Aligner:
                         batch_jobs.append(j)
             if not any_left:
                 break
+            timers.count("matesw.rounds")
+            timers.count("matesw.jobs", len(batch_jobs))
             if batch_jobs:
                 # group by ksw precision (XBYTE stripe 16 vs i16 stripe 8)
                 for p_stripe, grp in (
