@@ -213,14 +213,14 @@ class Aligner:
             front = self.begin_batch(reads)
         seq, l_seq = front["seq"], front["l_seq"]
         if front["tok"] is not None:
-            # dispatch the NEXT batch's front right before this batch's
-            # blocking fetch: the device queue drains from this batch's
-            # programs straight into the next batch's with zero idle (the
-            # reference's input/compute/output overlap,
-            # cuda/minibatch_process.cpp:196-208, minus the threads)
-            out, fb_rows = device_front.front_finish(self, front["tok"],
-                                                     _early=_prefetch)
-            _prefetch = None
+            # NOTE: dispatching the next batch's front BEFORE this fetch
+            # (front_finish's _early hook) wedges the experimental axon
+            # tunnel — steady-state batch 2 hangs forever when a new H2D +
+            # program chain is enqueued while the previous batch's
+            # programs and async D2H copies are still in flight.  The
+            # hook stays for backends that can take it; here the prefetch
+            # fires right after the fetch+replay instead.
+            out, fb_rows = device_front.front_finish(self, front["tok"])
             if fb_rows:
                 sub = [reads[i] for i in fb_rows]
                 sub_regs = self._regs_host_front(sub)
@@ -229,7 +229,10 @@ class Aligner:
         else:
             out = self._regs_host_front(reads, seq=seq, l_seq=l_seq)
         if _prefetch is not None:
-            # host-front path: the device is idle once the front is done
+            # the device is idle for this batch from here on (the CIGAR
+            # phase runs in the native host kernel) — enqueue the NEXT
+            # batch's front now so the whole host tail overlaps device
+            # compute (cuda/minibatch_process.cpp:196-208's input-async)
             _prefetch()
         with timers.section("dedup.batch"):
             for i in range(n):
