@@ -24,6 +24,7 @@ cuda/batch_config.h:5-13, plays the same role).
 """
 from __future__ import annotations
 
+import copy
 import functools
 import os
 
@@ -43,7 +44,7 @@ from bwamem_tpu.ops import local_sw
 from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import seedchain
-from bwamem_tpu.utils import timers
+from bwamem_tpu.utils import fetchguard, timers
 
 
 def _bucket(x: int, lo: int = 32) -> int:
@@ -134,7 +135,9 @@ class Aligner:
             if timers.enabled():
                 timers.add_bytes("d2h.global_sw", sum(
                     x.nbytes for x in jax.tree.leaves(res)))
-            outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
+            leaves, tdef = jax.tree.flatten(res)
+            leaves = fetchguard.fetch(leaves, what="global_sw")
+            outs.append(jax.tree.unflatten(tdef, [a[:c] for a in leaves]))
         if len(outs) == 1:
             return outs[0]
         return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
@@ -173,7 +176,9 @@ class Aligner:
                                    constant_values=0)),
                 jnp.asarray(np.pad(minsc[sl], (0, Bp - c),
                                    constant_values=1)), self._mat)
-            outs.append(jax.tree.map(lambda a: np.asarray(a)[:c], res))
+            leaves, tdef = jax.tree.flatten(res)
+            leaves = fetchguard.fetch(leaves, what="local_sw")
+            outs.append(jax.tree.unflatten(tdef, [a[:c] for a in leaves]))
         if len(outs) == 1:
             return outs[0]
         return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
@@ -192,6 +197,7 @@ class Aligner:
         seq, l_seq = pack_batch(reads, N, L)
         tok = None
         if (device_front.supported(self, reads)
+                and not getattr(self, "_front_disabled", False)
                 and os.environ.get("BWAMEM_TPU_FRONT") != "host"):
             tok = device_front.front_start(self, reads, seq, l_seq)
         return dict(seq=seq, l_seq=l_seq, tok=tok)
@@ -338,7 +344,7 @@ class Aligner:
         alns: list[fin.Aln] = []
         for k, jidx in picks:
             p = regs[k]
-            q = fins[jidx]
+            q = copy.copy(fins[jidx])  # never mutate the shared job result
             assert q.rid >= 0
             if k in xa_by_pri:
                 q.XA = "".join(xa_by_pri[k])
@@ -669,7 +675,7 @@ class Aligner:
                 aa = [[], []]
                 for i in range(2):
                     xa_by_pri = self._xa_strings(plan["xa"][i], fins)
-                    hi = fins[plan["hjob"][i]]
+                    hi = copy.copy(fins[plan["hjob"][i]])
                     hi.mapq = q_se[i]
                     hi.flag |= (0x40 << i) | extra
                     if z[i] in xa_by_pri:
@@ -677,7 +683,7 @@ class Aligner:
                     h[i] = hi
                     aa[i].append(hi)
                     if plan["gjob"][i] is not None:
-                        gi = fins[plan["gjob"][i]]
+                        gi = copy.copy(fins[plan["gjob"][i]])
                         gi.flag |= 0x800 | (0x40 << i) | extra
                         npr = plan["n_pri"][i]
                         if npr in xa_by_pri:

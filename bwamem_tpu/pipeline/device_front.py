@@ -43,6 +43,7 @@ import functools
 import json
 import math
 import os
+import sys
 import tempfile
 
 import jax
@@ -58,7 +59,7 @@ from bwamem_tpu.ops import smem as smemops
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import chainflt_host
 from bwamem_tpu.pipeline.seeding_host import _compact_flat
-from bwamem_tpu.utils import timers
+from bwamem_tpu.utils import fetchguard, timers
 
 
 def _bucket(x: int, lo: int = 8) -> int:
@@ -86,7 +87,13 @@ def _stage_ladder(base: int, width: int):
     shrink."""
     if width < 8192:
         return ()
-    return tuple(max(base >> j, 512) for j in range(8))
+    out = []
+    for j in range(8):
+        w = max(base >> j, 512)
+        if out and w == out[-1]:
+            break           # ladder hit the floor: extra 512-wide stages
+        out.append(w)       # would re-run the same compaction for nothing
+    return tuple(out)
 
 
 def _p1_body(fm, seq, l_seq, *, cap, kmax, emax, min_seed_len, use_kmer,
@@ -879,6 +886,28 @@ def front_finish(al, tok, _early=None):
 
     if _early is not None:
         _early()
+    try:
+        return _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes,
+                               use_kmer, fallback, seq_dev, l_dev, nsh,
+                               Nkey, meta_all, out32, out_it, chain32,
+                               c_pos, scl)
+    except fetchguard.FetchTimeout:
+        # Tunnel wedge (round-4 failure mode): abandon this batch's device
+        # results, stop using the device front for the rest of the process
+        # (the host-compacted front's per-stage round trips have never
+        # wedged), and re-run every row through the fallback path.  This is
+        # the reference's check-and-bail discipline (errHandler.cuh:7-19)
+        # adapted to a transport that hangs instead of erroring.
+        al._front_disabled = True
+        print("[bwamem_tpu] device front DISABLED after fetch timeout; "
+              "re-running batch on the host-compacted front",
+              file=sys.stderr, flush=True)
+        return [[] for _ in range(n)], sorted(range(n))
+
+
+def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
+                    fallback, seq_dev, l_dev, nsh, Nkey, meta_all, out32,
+                    out_it, chain32, c_pos, scl):
     # meta slots holding bit-flags (combined across shards with OR; every
     # other slot is a count/hwm and combines with max)
     _FLAG_SLOTS = (1, 9, 17, 24, 32, 33, 34)
@@ -890,7 +919,8 @@ def front_finish(al, tok, _early=None):
                     arr.copy_to_host_async()
                 except Exception:
                     pass
-            meta_all = np.asarray(meta_all)
+            meta_all = fetchguard.fetch([meta_all],
+                                        what="front.meta")[0]
             if nsh > 1:
                 meta_st = meta_all                      # [40, nsh]
                 meta_all = meta_st.max(axis=1)
@@ -920,16 +950,22 @@ def front_finish(al, tok, _early=None):
                 for g in grow:
                     if g is not None:
                         sizes[g] *= 2
+                # DRAIN before re-dispatching: the previous attempt's
+                # async D2H copies (started in front_start) are still in
+                # flight, and enqueuing a new H2D + 6-program chain while
+                # un-fetched copies are pending wedges the tunnel — the
+                # round-4 PE hang (cold PE arenas → grow-retry → overlap).
+                # Materializing the stale arrays both completes the copies
+                # and bounds the wait; they are discarded.
+                fetchguard.fetch([out32, out_it, chain32, c_pos, scl],
+                                 what="front.drain")
                 with timers.section("front.dispatch"):
                     (meta_all, out32, out_it, chain32, c_pos,
                      scl) = _dispatch(al, seq_dev, l_dev, sizes, use_kmer,
                                       N, Lr)
                 continue
-            out32 = np.asarray(out32)
-            out_it = np.asarray(out_it)
-            chain32 = np.asarray(chain32)
-            c_pos = np.asarray(c_pos)
-            scl = np.asarray(scl)
+            out32, out_it, chain32, c_pos, scl = fetchguard.fetch(
+                [out32, out_it, chain32, c_pos, scl], what="front.arenas")
             timers.add_bytes("d2h.front",
                              out32.nbytes + out_it.nbytes + chain32.nbytes
                              + c_pos.nbytes + scl.nbytes + meta_all.nbytes)

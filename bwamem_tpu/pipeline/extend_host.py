@@ -31,7 +31,7 @@ from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.finalize import AlnReg
 from bwamem_tpu.ops import extend as extops
-from bwamem_tpu.utils import timers
+from bwamem_tpu.utils import fetchguard, timers
 
 
 def _bucket(x: int, lo: int = 16) -> int:
@@ -418,7 +418,7 @@ class _ExtBatcher:
         M = plan["M"]
         out = {k: np.zeros(M, np.int32) for k in _ExtBatcher.FIELDS}
         for idx, res in plan["parts"]:
-            arr = np.asarray(res)          # one fetch per dispatch
+            arr = fetchguard.fetch([res], what="extend")[0]
             timers.add_bytes("d2h.extend", arr.nbytes)
             for fi, k in enumerate(_ExtBatcher.FIELDS):
                 out[k][idx] = arr[fi, : idx.size]
@@ -526,7 +526,7 @@ def _extend_both_fused(al, opt, mat, seq_dev, ii, s_qb, s_len, s_rb, rmax0,
     aw0 = np.full(M, opt.w, np.int32)
     aw1 = np.full(M, opt.w, np.int32)
     for idx, res in parts:
-        arr = np.asarray(res)
+        arr = fetchguard.fetch([res], what="extend_fused")[0]
         timers.add_bytes("d2h.extend", arr.nbytes)
         k = idx.size
         for fi, name in enumerate(FIELDS):

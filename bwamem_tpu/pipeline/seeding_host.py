@@ -35,7 +35,7 @@ from bwamem_tpu.parallel import mesh as pmesh
 from bwamem_tpu.pipeline import _shapes
 from bwamem_tpu.pipeline import chainflt_host
 from bwamem_tpu.ops import align_ext
-from bwamem_tpu.utils import timers
+from bwamem_tpu.utils import fetchguard, timers
 
 
 def _bucket(x: int, lo: int = 8) -> int:
@@ -224,7 +224,8 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             rk[:M] = ranks
             sa_fn = (_sa_lookup_jit if mesh is None else
                      pmesh.rowmap(mesh, _sa_lookup_jit, (), (True, False)))
-            rbeg = np.asarray(sa_fn(al.fm, jnp.asarray(rk)))[:M]
+            rbeg = fetchguard.fetch([sa_fn(al.fm, jnp.asarray(rk))],
+                                    what="sa_walk")[0][:M]
             timers.add_bytes("d2h.sa_walk", rbeg.nbytes)
             rbeg = rbeg.astype(np.int64)
     else:
@@ -320,10 +321,11 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     def drain_group(plan):
         ridx, (g_qbeg, g_rbeg, g_len, g_valid, g_frac), res, arena = plan
         if len(res) == 3:
-            flat, sc16, cnts = (np.asarray(x) for x in res)
+            flat, sc16, cnts = fetchguard.fetch(res, what="chain_grid")
             fitp = flat[4:7].astype(it)
         else:
-            flat, fitp, sc16, cnts = (np.asarray(x) for x in res)
+            flat, fitp, sc16, cnts = fetchguard.fetch(res,
+                                                      what="chain_grid")
         timers.add_bytes("d2h.chain_grid",
                          flat.nbytes + fitp.nbytes + sc16.nbytes
                          + cnts.nbytes)
@@ -630,14 +632,16 @@ def collect_intervals_host(al, seq_np: np.ndarray, l_seq: np.ndarray,
                        **sizes)
         with timers.section("seed.collect_rt"):
             if mesh is None:
-                out = np.asarray(_collect_all_jit(al.fm, seq_j, l_j,
-                                                  **statics))
+                out = fetchguard.fetch(
+                    [_collect_all_jit(al.fm, seq_j, l_j, **statics)],
+                    what="seed_collect")[0]
             else:
                 # shard-local arenas per chip; one program, one fetch
                 fn = pmesh.rowmap(mesh, _collect_all_jit,
                                   tuple(sorted(statics.items())),
                                   (True, False, False), stacked_out=True)
-                out = np.asarray(fn(al.fm, seq_j, l_j))
+                out = fetchguard.fetch([fn(al.fm, seq_j, l_j)],
+                                       what="seed_collect")[0]
             timers.add_bytes("d2h.seed_collect", out.nbytes)
         shards = out.reshape(5, ndev, out.shape[1] // ndev)
         flags = 0

@@ -58,13 +58,15 @@ def section(name: str):
     return run()
 
 
-def start(name: str) -> float:
-    """Paired with stop() for sections that cannot be a `with` block."""
-    return time.perf_counter() if _enabled else 0.0
+def start(name: str) -> float | None:
+    """Paired with stop() for sections that cannot be a `with` block.
+    Returns None when disabled so a mid-section enable() cannot record a
+    bogus duration (stop() skips on None)."""
+    return time.perf_counter() if _enabled else None
 
 
-def stop(name: str, t0: float) -> None:
-    if _enabled:
+def stop(name: str, t0: float | None) -> None:
+    if _enabled and t0 is not None:
         a = _acc[name]
         a[0] += 1
         a[1] += time.perf_counter() - t0
