@@ -42,7 +42,8 @@ def _load():
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 subprocess.run(
-                    ["cc", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                    ["cc", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB,
+                     "-lm"],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_LIB)
             lib.ksw_global_batch.restype = ctypes.c_int
@@ -71,6 +72,16 @@ def _load():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 _i64p, _i64p, _i32p]
+            lib.pair_batch.restype = ctypes.c_int
+            lib.pair_batch.argtypes = [
+                ctypes.c_int64, _i64p, _i64p,
+                _i64p, _i32p, _i32p, _i64p, _i32p, _i32p,
+                _i64p, _i64p, ctypes.c_int64,
+                _i32p, _i32p, _i32p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int32, ctypes.c_int32,
+                _i32p, _i32p, _i32p, _i32p, _i32p]
             lib.sam_batch.restype = ctypes.c_int64
             lib.sam_batch.argtypes = [
                 ctypes.c_int64, _i32p,
@@ -161,6 +172,40 @@ def mark_primary_batch(off, ids, score, qb, qe, is_alt, tmp, mask_level):
     if rc != 0:
         raise MemoryError("mark_primary_batch native failure")
     return (*outs, n_pri)
+
+
+def pair_batch(off0, off1, rb0, rid0, sc0, rb1, rid1, sc1, ids, ctg_off,
+               l_pac, pes, a_sc, tmp):
+    """mem_pair over all eligible pairs at once (bwamem_pair.c:208-269;
+    spec: pair.mem_pair).  off0/off1 [n+1] index the flat per-end reg
+    arrays (first n_pri regs per read).  pes: list of 4 PeStat.  Returns
+    (o, sub, n_sub, z0, z1) int32 arrays [n]."""
+    lib = _load()
+    n = len(off0) - 1
+    c = np.ascontiguousarray
+    outs = [np.zeros(n, np.int32) for _ in range(5)]
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.pair_batch(
+        n, c(off0, np.int64).ctypes.data_as(_i64p),
+        c(off1, np.int64).ctypes.data_as(_i64p),
+        c(rb0, np.int64).ctypes.data_as(_i64p),
+        c(rid0, np.int32).ctypes.data_as(_i32p),
+        c(sc0, np.int32).ctypes.data_as(_i32p),
+        c(rb1, np.int64).ctypes.data_as(_i64p),
+        c(rid1, np.int32).ctypes.data_as(_i32p),
+        c(sc1, np.int32).ctypes.data_as(_i32p),
+        c(ids, np.int64).ctypes.data_as(_i64p),
+        c(ctg_off, np.int64).ctypes.data_as(_i64p), int(l_pac),
+        c([p.failed for p in pes], np.int32).ctypes.data_as(_i32p),
+        c([p.low for p in pes], np.int32).ctypes.data_as(_i32p),
+        c([p.high for p in pes], np.int32).ctypes.data_as(_i32p),
+        c([p.avg for p in pes], np.float64).ctypes.data_as(dp),
+        c([p.std for p in pes], np.float64).ctypes.data_as(dp),
+        int(a_sc), int(tmp),
+        *(o.ctypes.data_as(_i32p) for o in outs))
+    if rc != 0:
+        raise MemoryError("pair_batch native failure")
+    return tuple(outs)
 
 
 def replay_batch(ch_base, c_w, c_beg, c_end, c_alt, c_pos, c_rid,

@@ -13,10 +13,15 @@
  * (bwa_gen_cigar2 semantics, reference bwa.c:311-341; spec:
  * finalize._nm_md).
  */
+#include <math.h>
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
 #include <stdio.h>
+
+#ifndef M_SQRT1_2
+#define M_SQRT1_2 0.70710678118654752440
+#endif
 
 #define NEG (-0x40000000)
 
@@ -990,5 +995,150 @@ int replay_batch(int64_t n_reads,
     free(keep_list); free(kept_ids); free(cnt); free(coff);
     free(by_chain); free(ord); free(work); free(wchain); free(chpos);
     free(marks);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* mem_pair batched over all eligible pairs of a batch (bwamem_pair.c:
+ * 208-269; spec: pair.mem_pair).  Inputs are flat per-end reg arrays of
+ * the first n_pri regs of each read: off0/off1 [n_pairs+1] index into
+ * (rb*, rid*, sc*).  Writes per-pair (o, sub, n_sub, z0, z1).
+ *
+ * One deliberate divergence from the Python spec: when the erfc insert-
+ * size prior underflows to 0, log() yields -inf and the C reference's
+ * (int) conversion + q>0 clamp produce 0 (bwamem_pair.c:246-248) — the
+ * Python int(-inf) would raise instead; we follow the C reference. */
+
+typedef struct { uint64_t x, y; } pv_t;
+typedef struct { uint64_t key, yk; } pu_t;
+
+static int cmp_pv(const void *a_, const void *b_)
+{
+    const pv_t *a = a_, *b = b_;
+    if (a->x != b->x) return a->x < b->x ? -1 : 1;
+    return a->y < b->y ? -1 : a->y > b->y ? 1 : 0;
+}
+
+static int cmp_pu(const void *a_, const void *b_)
+{
+    const pu_t *a = a_, *b = b_;
+    if (a->key != b->key) return a->key < b->key ? -1 : 1;
+    return a->yk < b->yk ? -1 : a->yk > b->yk ? 1 : 0;
+}
+
+int pair_batch(int64_t n_pairs,
+               const int64_t *off0, const int64_t *off1,
+               const int64_t *rb0, const int32_t *rid0, const int32_t *sc0,
+               const int64_t *rb1, const int32_t *rid1, const int32_t *sc1,
+               const int64_t *ids,
+               const int64_t *ctg_off, int64_t l_pac,
+               const int32_t *pes_failed, const int32_t *pes_low,
+               const int32_t *pes_high, const double *pes_avg,
+               const double *pes_std,
+               int32_t a_sc, int32_t tmp,
+               int32_t *o_out, int32_t *sub_out, int32_t *nsub_out,
+               int32_t *z0_out, int32_t *z1_out)
+{
+    int64_t p;
+    int64_t max_nv = 0;
+    for (p = 0; p < n_pairs; p++) {
+        int64_t nv = (off0[p + 1] - off0[p]) + (off1[p + 1] - off1[p]);
+        if (nv > max_nv) max_nv = nv;
+    }
+    if (max_nv < 1) max_nv = 1;
+    pv_t *v = malloc(sizeof(pv_t) * (size_t)max_nv);
+    pu_t *u = malloc(sizeof(pu_t) * (size_t)(max_nv * max_nv + 1));
+    if (!v || !u) { free(v); free(u); return -1; }
+
+    for (p = 0; p < n_pairs; p++) {
+        int nv = 0, i, rr;
+        int n0 = (int)(off0[p + 1] - off0[p]);
+        int n1 = (int)(off1[p + 1] - off1[p]);
+        const int64_t *rb[2] = { rb0 + off0[p], rb1 + off1[p] };
+        const int32_t *rid[2] = { rid0 + off0[p], rid1 + off1[p] };
+        const int32_t *sc[2] = { sc0 + off0[p], sc1 + off1[p] };
+        int nn[2]; nn[0] = n0; nn[1] = n1;
+        for (rr = 0; rr < 2; rr++) {
+            for (i = 0; i < nn[rr]; i++) {
+                int64_t b = rb[rr][i];
+                int64_t fpos = b < l_pac ? b : (l_pac << 1) - 1 - b;
+                int32_t rd = rid[rr][i];
+                v[nv].x = ((uint64_t)(uint32_t)rd << 32)
+                          | (uint64_t)(fpos - ctg_off[rd]);
+                v[nv].y = ((uint64_t)(uint32_t)sc[rr][i] << 32)
+                          | ((uint64_t)i << 2)
+                          | ((uint64_t)(b >= l_pac) << 1) | (uint64_t)rr;
+                nv++;
+            }
+        }
+        qsort(v, nv, sizeof(pv_t), cmp_pv);
+        int64_t y4[4] = { -1, -1, -1, -1 };
+        int64_t nu = 0;
+        for (i = 0; i < nv; i++) {
+            for (rr = 0; rr < 2; rr++) {
+                int dir = (rr << 1) | ((int)(v[i].y >> 1) & 1);
+                int which;
+                int64_t k;
+                if (pes_failed[dir]) continue;
+                which = (rr << 1) | (((int)v[i].y & 1) ^ 1);
+                if (y4[which] < 0) continue;
+                for (k = y4[which]; k >= 0; k--) {
+                    uint64_t dist;
+                    int q;
+                    if (((int)v[k].y & 3) != which) continue;
+                    dist = v[i].x - v[k].x;
+                    if (dist > (uint64_t)(int64_t)pes_high[dir]) break;
+                    if (dist < (uint64_t)(int64_t)pes_low[dir]) continue;
+                    if (pes_std[dir] > 0) {
+                        double ns = ((double)dist - pes_avg[dir])
+                                    / pes_std[dir];
+                        double val = (double)(int64_t)(v[i].y >> 32)
+                            + (double)(int64_t)(v[k].y >> 32)
+                            + .721 * log(2. * erfc(fabs(ns) * M_SQRT1_2))
+                              * a_sc + .499;
+                        q = (!(val > 0.)) ? 0
+                            : val >= 2147483647. ? 2147483647 : (int)val;
+                    } else {
+                        /* std == 0: the C reference's 0/0 -> NaN path
+                         * lands on 0 after the clamp */
+                        q = 0;
+                    }
+                    {
+                        uint64_t yk = ((uint64_t)k << 32) | (uint64_t)i;
+                        u[nu].key = ((uint64_t)(uint32_t)q << 32)
+                            | (uint32_t)hash64(yk
+                                               ^ ((uint64_t)ids[p] << 8));
+                        u[nu].yk = yk;
+                        nu++;
+                    }
+                }
+            }
+            y4[v[i].y & 3] = i;
+        }
+        if (nu == 0) {
+            o_out[p] = 0; sub_out[p] = 0; nsub_out[p] = 0;
+            z0_out[p] = -1; z1_out[p] = -1;
+            continue;
+        }
+        qsort(u, nu, sizeof(pu_t), cmp_pu);
+        {
+            int64_t i_ = (int64_t)(u[nu - 1].yk >> 32);
+            int64_t k_ = (int64_t)(u[nu - 1].yk & 0xFFFFFFFFu);
+            int32_t z[2] = { -1, -1 };
+            int32_t sub = nu > 1 ? (int32_t)(u[nu - 2].key >> 32) : 0;
+            int32_t nsub = 0;
+            int64_t j;
+            z[v[i_].y & 1] = (int32_t)((v[i_].y & 0xFFFFFFFFu) >> 2);
+            z[v[k_].y & 1] = (int32_t)((v[k_].y & 0xFFFFFFFFu) >> 2);
+            for (j = nu - 2; j >= 0; j--)
+                if (sub - (int32_t)(u[j].key >> 32) <= tmp) nsub++;
+            o_out[p] = (int32_t)(u[nu - 1].key >> 32);
+            sub_out[p] = sub;
+            nsub_out[p] = nsub;
+            z0_out[p] = z[0];
+            z1_out[p] = z[1];
+        }
+    }
+    free(v); free(u);
     return 0;
 }

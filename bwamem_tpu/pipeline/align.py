@@ -274,6 +274,90 @@ class Aligner:
                 out[i] = g_regs[gi]
         return out
 
+    def _phaseA_batch(self, all_regs, reads, jobs):
+        """Vectorized phase-A selection over the whole batch: the
+        mem_gen_alt XA accounting (bwamem_extra.c:117-141) and the
+        mem_reg2sam pick conditions (bwamem.c:1025-1041) evaluated as flat
+        numpy over the batch reg table.  Replaces the per-read Python
+        loops (_phaseA_gen_alt/_phaseA_reg2sam, the round-4 select.batch
+        hot spot); only the CigarJob materialization of the survivors
+        stays per-job Python.  Returns (xa_jobs, sel) shaped exactly like
+        the per-read versions, with identical job ordering (per read: XA
+        jobs in reg order, then picks in reg order)."""
+        opt = self.opt
+        n_reads = len(all_regs)
+        empty = [[] for _ in range(n_reads)]
+        counts = np.fromiter((len(r) for r in all_regs), np.int64, n_reads)
+        off = np.zeros(n_reads + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        total = int(off[-1])
+        if total == 0:
+            return empty, [[] for _ in range(n_reads)]
+        score = np.fromiter((r.score for rs in all_regs for r in rs),
+                            np.int64, total)
+        sec = np.fromiter((r.secondary for rs in all_regs for r in rs),
+                          np.int64, total)
+        sec_all = np.fromiter(
+            (r.secondary_all for rs in all_regs for r in rs), np.int64,
+            total)
+        alt = np.fromiter((bool(r.is_alt) for rs in all_regs for r in rs),
+                          bool, total)
+        read_of = np.repeat(np.arange(n_reads, dtype=np.int64), counts)
+        k_local = np.arange(total, dtype=np.int64) - off[read_of]
+        nloc = counts[read_of]
+
+        # ---- mem_gen_alt XA candidates ----
+        if opt.flag & MEM_F_ALL:
+            xa_keep = np.zeros(total, bool)
+            pri = np.full(total, -1, np.int64)
+        else:
+            r_ok = (sec_all >= 0) & (sec_all < nloc)
+            gpri = np.where(r_ok, off[read_of] + np.clip(sec_all, 0, None),
+                            0)
+            ok = r_ok & (score >= score[gpri] * opt.XA_drop_ratio)
+            cnt = np.bincount(gpri[ok], minlength=total)
+            has_alt = np.bincount(gpri[ok & alt],
+                                  minlength=total).astype(bool)
+            xa_keep = ok & ~((cnt[gpri] > opt.max_XA_hits_alt)
+                             | (~has_alt[gpri]
+                                & (cnt[gpri] > opt.max_XA_hits)))
+            pri = np.where(ok, sec_all, -1)
+
+        # ---- mem_reg2sam picks ----
+        all_f = bool(opt.flag & MEM_F_ALL)
+        pick = score >= opt.T
+        pick &= ~((sec >= 0) & (alt | (not all_f)))
+        s_ok = (sec >= 0) & (sec < nloc)
+        gsec = np.where(s_ok, off[read_of] + np.clip(sec, 0, None), 0)
+        pick &= ~(s_ok & (sec < fin.INT_MAX)
+                  & (score < score[gsec] * opt.drop_ratio))
+
+        # ---- materialize jobs in the per-read [XA..., picks...] order ----
+        xa_idx = np.nonzero(xa_keep)[0]
+        pick_idx = np.nonzero(pick)[0]
+        flat = np.concatenate([xa_idx, pick_idx])
+        stream = np.concatenate([np.zeros(xa_idx.size, np.int8),
+                                 np.ones(pick_idx.size, np.int8)])
+        order = np.lexsort((flat, stream, read_of[flat]))
+        xa_jobs = empty
+        sel = [[] for _ in range(n_reads)]
+        fl = flat.tolist()
+        st = stream.tolist()
+        ro = read_of.tolist()
+        kl = k_local.tolist()
+        pr = pri.tolist()
+        for t in order.tolist():
+            g = fl[t]
+            i = ro[g]
+            rd = reads[i]
+            jobs.append(fin.CigarJob(reg=all_regs[i][kl[g]], query=rd.seq,
+                                     l_query=rd.l_seq))
+            if st[t] == 0:
+                xa_jobs[i].append((kl[g], pr[g], len(jobs) - 1))
+            else:
+                sel[i].append((kl[g], len(jobs) - 1))
+        return xa_jobs, sel
+
     def _phaseA_gen_alt(self, regs, read, jobs):
         """mem_gen_alt accounting (bwamem_extra.c:117-141) → XA cigar jobs.
         Returns [(reg_idx, primary_idx, job_idx)]."""
@@ -387,16 +471,14 @@ class Aligner:
         early = _prefetch if native.available() else None
         all_regs = self._regs_from_device(reads, _front, _prefetch=early)
         jobs: list[fin.CigarJob] = []
-        sel, xa_jobs = [], []
         with timers.section("mark.batch"):
             fin.mark_primary_many(
                 opt, all_regs, [n_processed + i for i in range(len(reads))])
         with timers.section("select.batch"):
-            for i, regs in enumerate(all_regs):
-                if opt.flag & MEM_F_PRIMARY5:
+            if opt.flag & MEM_F_PRIMARY5:
+                for regs in all_regs:
                     fin.reorder_primary5(opt, regs)
-                xa_jobs.append(self._phaseA_gen_alt(regs, reads[i], jobs))
-                sel.append(self._phaseA_reg2sam(regs, reads[i], jobs))
+            xa_jobs, sel = self._phaseA_batch(all_regs, reads, jobs)
         with timers.section("cigar.jobs"):
             fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
                                self._device_global)
@@ -534,6 +616,51 @@ class Aligner:
             ids = [(((n_processed >> 1) + (e >> 1)) << 1) | (e & 1)
                    for e in range(2 * n_pairs)]
             n_pri_all = fin.mark_primary_many(opt, all_regs, ids)
+
+        # mem_pair over every eligible pair in ONE native pass
+        # (hostops.c:pair_batch; pair.mem_pair stays the spec/fallback).
+        # Precomputable because nothing before the per-pair mem_pair call
+        # mutates the reg tables — except -5 reordering, which keeps the
+        # per-pair path.
+        from bwamem_tpu import native
+        pair_pre = None
+        if (native.available() and n_pairs
+                and not (opt.flag & (MEM_F_PRIMARY5 | MEM_F_NOPAIRING))):
+            with timers.section("pair.native"):
+                elig = [p for p in range(n_pairs)
+                        if n_pri_all[2 * p] and n_pri_all[2 * p + 1]]
+                if elig:
+                    n0 = np.fromiter((n_pri_all[2 * p] for p in elig),
+                                     np.int64, len(elig))
+                    n1 = np.fromiter((n_pri_all[2 * p + 1] for p in elig),
+                                     np.int64, len(elig))
+                    off0 = np.zeros(len(elig) + 1, np.int64)
+                    off1 = np.zeros(len(elig) + 1, np.int64)
+                    np.cumsum(n0, out=off0[1:])
+                    np.cumsum(n1, out=off1[1:])
+
+                    def flat(end, field, dt, tot):
+                        return np.fromiter(
+                            (getattr(r, field) for p in elig for r in
+                             all_regs[2 * p + end]
+                             [:n_pri_all[2 * p + end]]), dt, tot)
+                    t0_, t1_ = int(off0[-1]), int(off1[-1])
+                    tmp = max(opt.a + opt.b, opt.o_del + opt.e_del,
+                              opt.o_ins + opt.e_ins)
+                    o_a, sub_a, nsub_a, z0_a, z1_a = native.pair_batch(
+                        off0, off1,
+                        flat(0, "rb", np.int64, t0_),
+                        flat(0, "rid", np.int32, t0_),
+                        flat(0, "score", np.int32, t0_),
+                        flat(1, "rb", np.int64, t1_),
+                        flat(1, "rid", np.int32, t1_),
+                        flat(1, "score", np.int32, t1_),
+                        [(n_processed >> 1) + p for p in elig],
+                        self.ctg_offsets_np, self.l_pac, pes, opt.a, tmp)
+                    pair_pre = {
+                        p: (int(o_a[k]), int(sub_a[k]), int(nsub_a[k]),
+                            [int(z0_a[k]), int(z1_a[k])])
+                        for k, p in enumerate(elig)}
         _pair_t0 = timers.start("pair.batch")
         for p in range(n_pairs):
             pid = (n_processed >> 1) + p
@@ -546,9 +673,12 @@ class Aligner:
             plan = dict(mode="un", n_pri=n_pri, extra=1)
             paired = False
             if not (opt.flag & MEM_F_NOPAIRING) and n_pri[0] and n_pri[1]:
-                o, subo, n_sub, z = pairmod.mem_pair(
-                    opt, self.l_pac, self.ctg_offsets_np, pes, a, pid,
-                    n_pri)
+                if pair_pre is not None:
+                    o, subo, n_sub, z = pair_pre[p]
+                else:
+                    o, subo, n_sub, z = pairmod.mem_pair(
+                        opt, self.l_pac, self.ctg_offsets_np, pes, a, pid,
+                        n_pri)
                 if o > 0:
                     is_multi = False
                     for i in range(2):
