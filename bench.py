@@ -23,13 +23,17 @@ as it happens (cuda/bwamem_GPU.cu:3503-3510).
 """
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
+import signal
 import subprocess
 import sys
 import threading
 import time
 from pathlib import Path
+
+faulthandler.register(signal.SIGUSR1, all_threads=True)  # live stack dump
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))

@@ -220,13 +220,22 @@ class Aligner:
         seq, l_seq = front["seq"], front["l_seq"]
         if front["tok"] is not None:
             # NOTE: dispatching the next batch's front BEFORE this fetch
-            # (front_finish's _early hook) wedges the experimental axon
-            # tunnel — steady-state batch 2 hangs forever when a new H2D +
-            # program chain is enqueued while the previous batch's
-            # programs and async D2H copies are still in flight.  The
-            # hook stays for backends that can take it; here the prefetch
-            # fires right after the fetch+replay instead.
-            out, fb_rows = device_front.front_finish(self, front["tok"])
+            # (front_finish's _early hook) wedged the experimental axon
+            # tunnel in round 4 — steady-state batch 2 hung forever when a
+            # new H2D + program chain was enqueued while the previous
+            # batch's programs and async D2H copies were still in flight.
+            # With the fetchguard watchdog a wedge now degrades to a
+            # host-front fallback instead of a hang, so the overlap (worth
+            # ~150 ms/batch of device idle) is available again behind
+            # BWAMEM_TPU_EARLY_DISPATCH=1; default stays off until it
+            # survives a full stream on the live chip.
+            early = (_prefetch if _prefetch is not None and
+                     os.environ.get("BWAMEM_TPU_EARLY_DISPATCH") == "1"
+                     else None)
+            out, fb_rows = device_front.front_finish(self, front["tok"],
+                                                     _early=early)
+            if early is not None:
+                _prefetch = None        # fired already; don't double-fire
             if fb_rows:
                 sub = [reads[i] for i in fb_rows]
                 sub_regs = self._regs_host_front(sub)

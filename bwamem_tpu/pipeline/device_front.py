@@ -89,8 +89,15 @@ def _stage_ladder(base: int, width: int):
         return ()
     out = []
     for j in range(8):
-        w = max(base >> j, 512)
-        if out and w == out[-1]:
+        # Cap at the input arena width: a stage wider than its input can
+        # never overflow but still runs its k steps.  base may exceed
+        # `width` after need-driven growth — deep stages then get wider
+        # (base>>j) while the top stays at `width`.  Uncapped-base clamping
+        # in _dispatch (round 4) made growth a no-op: the same program
+        # re-ran with the same deep-stage overflow forever — the "PE
+        # wedge" was an infinite grow-and-retry loop, not a tunnel hang.
+        w = min(max(base >> j, 512), width)
+        if out and w == out[-1] == 512:
             break           # ladder hit the floor: extra 512-wide stages
         out.append(w)       # would re-run the same compaction for nothing
     return tuple(out)
@@ -903,6 +910,14 @@ def front_finish(al, tok, _early=None):
               "re-running batch on the host-compacted front",
               file=sys.stderr, flush=True)
         return [[] for _ in range(n)], sorted(range(n))
+    except RuntimeError as e:
+        # Bounded-retry bailout (arena growth not converging) or a chain
+        # table inconsistency: this batch re-runs on the host front; the
+        # device front stays enabled for later batches.
+        print(f"[bwamem_tpu] device front bailed for this batch: {e}; "
+              "re-running on the host-compacted front", file=sys.stderr,
+              flush=True)
+        return [[] for _ in range(n)], sorted(range(n))
 
 
 def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
@@ -912,6 +927,7 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
     # other slot is a count/hwm and combines with max)
     _FLAG_SLOTS = (1, 9, 17, 24, 32, 33, 34)
     meta_st = None
+    retries = 0
     while True:
         with timers.section("front.fetch"):
             for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
@@ -919,8 +935,10 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
                     arr.copy_to_host_async()
                 except Exception:
                     pass
+            _dbg("fetch meta...")
             meta_all = fetchguard.fetch([meta_all],
                                         what="front.meta")[0]
+            _dbg("fetch meta done")
             if nsh > 1:
                 meta_st = meta_all                      # [40, nsh]
                 meta_all = meta_st.max(axis=1)
@@ -947,9 +965,29 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
                 _note_hwm(hist, Nkey, t_span=m5[6])
                 grow.append(None)
             if grow:
+                retries += 1
+                if retries > 16:
+                    # arena growth is not converging (a sizing bug, not a
+                    # data property) — bail to the host front for this
+                    # batch instead of looping forever (the round-4 "PE
+                    # wedge": doubling a clamped ladder base re-ran the
+                    # identical program indefinitely)
+                    raise RuntimeError(
+                        f"front arena growth did not converge: {grow} "
+                        f"sizes={sizes}")
                 for g in grow:
                     if g is not None:
                         sizes[g] *= 2
+                # the back-extend ladders report the exact base width that
+                # would have fit (b*_need) — jump straight there instead of
+                # doubling through many compiles
+                if "b1s" in grow:
+                    sizes["b1s"] = max(sizes["b1s"],
+                                       _bucket(int(m1[5]) + 1, lo=1024))
+                if "b2s" in grow:
+                    sizes["b2s"] = max(sizes["b2s"],
+                                       _bucket(int(m2[6]) + 1, lo=1024))
+                _dbg(f"grow {grow} retry {retries}")
                 # DRAIN before re-dispatching: the previous attempt's
                 # async D2H copies (started in front_start) are still in
                 # flight, and enqueuing a new H2D + 6-program chain while
@@ -1029,17 +1067,27 @@ def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     return front_finish(al, front_start(al, reads, seq, l_seq))
 
 
+_DEBUG = os.environ.get("BWAMEM_TPU_DEBUG") == "1"
+
+
+def _dbg(msg: str) -> None:
+    if _DEBUG:
+        import time
+        print(f"[front {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+
 def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
     """Enqueue the device program chain; returns device arrays (no fetch)."""
     opt: MemOptions = al.opt
     s1 = dict(cap=sizes["cap"], kmax=sizes["kmax"], emax=sizes["emax"],
               min_seed_len=opt.min_seed_len, use_kmer=use_kmer,
-              b1s=min(sizes["b1s"], sizes["kmax"]), t1s=sizes["t1s"])
+              b1s=sizes["b1s"], t1s=sizes["t1s"])
     s2 = dict(pmax=sizes["pmax"], cand2=sizes["cand2"],
               k2max=sizes["k2max"], e2max=sizes["e2max"],
               min_seed_len=opt.min_seed_len, split_len=opt.split_len,
               split_width=opt.split_width,
-              b2s=min(sizes["b2s"], sizes["k2max"]), t2s=sizes["t2s"])
+              b2s=sizes["b2s"], t2s=sizes["t2s"])
     s3 = dict(p3cap=sizes["p3cap"], e3max=sizes["e3max"],
               min_seed_len=opt.min_seed_len,
               max_mem_intv=opt.max_mem_intv, use_kmer=use_kmer,
@@ -1062,16 +1110,23 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
         return _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6)
 
     timers.count("dispatch.front", 6)
+    _dbg(f"dispatch p1 N={N} Lr={Lr} sizes={sizes}")
     sec1, m1 = _p1_jit(al.fm, seq_dev, l_dev, **s1)
+    _dbg("dispatch p2")
     sec2, m2 = _p2_jit(al.fm, seq_dev, l_dev, sec1, m1[0], **s2)
+    _dbg("dispatch p3")
     sec3, m3 = _p3_jit(al.fm, seq_dev, l_dev, **s3)
+    _dbg("dispatch expand")
     seeds, seed_cnt, l_rep, m4 = _expand_jit(
         al.fm, al.ctg_offsets, sec1, m1[0], sec2, m2[0], sec3, m3[0], **s4)
+    _dbg("dispatch chain")
     seed_chain, items32, items_it, chain32, c_pos, m5 = _chain_jit(
         al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev, **s5)
+    _dbg("dispatch ext")
     out32, out_it = _ext_jit(al.fm, seq_dev, l_dev, seed_chain, seeds.valid,
                              seeds.qbeg, seeds.len, seeds.rbeg, items32,
                              items_it, **s6)
+    _dbg("dispatch done")
     it = np.asarray(al.fm.L2).dtype
     meta_all = jnp.concatenate([m1, m2, m3, m4, m5])
     scl = jnp.stack([seed_cnt.astype(it), l_rep])

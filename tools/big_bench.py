@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--diff-reads", type=int, default=2000,
                     help="oracle byte-diff subsample size")
+    ap.add_argument("--build-only", action="store_true",
+                    help="stop after the CPU-side artifacts (index build, "
+                    "oracle index + baseline) so the chip phases can run "
+                    "later without re-paying the build")
     args = ap.parse_args()
 
     import simdata
@@ -92,6 +96,9 @@ def main():
         base = args.reads / dt
         bl.write_text(json.dumps({"reads_per_sec": base, "seconds": dt}))
     out["cpu_t1_reads_per_sec"] = round(base, 1)
+    if args.build_only:
+        print(json.dumps(out))
+        return
 
     # exactness subsample: our SAM vs oracle, byte-identical requirement
     from bwamem_tpu.io.fastq import read_fastx, batches

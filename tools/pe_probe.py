@@ -20,6 +20,11 @@ sys.path.insert(0, str(REPO / "tools"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
 os.environ.setdefault("BWAMEM_TPU_TIMERS", "1")
 
+import faulthandler
+import signal
+faulthandler.register(signal.SIGUSR1, all_threads=True)  # kill -USR1 <pid>
+faulthandler.dump_traceback_later(600, repeat=True)      # heartbeat stacks
+
 import bench
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
