@@ -72,6 +72,12 @@ def _load():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 _i64p, _i64p, _i32p]
+            lib.ksw_align_host_batch.restype = ctypes.c_int
+            lib.ksw_align_host_batch.argtypes = [
+                ctypes.c_int64, _u8p, _i64p, _u8p, _i64p, _i32p, _i8p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
             lib.pair_batch.restype = ctypes.c_int
             lib.pair_batch.argtypes = [
                 ctypes.c_int64, _i64p, _i64p,
@@ -172,6 +178,32 @@ def mark_primary_batch(off, ids, score, qb, qe, is_alt, tmp, mask_level):
     if rc != 0:
         raise MemoryError("mark_primary_batch native failure")
     return (*outs, n_pri)
+
+
+def ksw_align_host(queries, targets, minsc, mat, o_del, e_del, o_ins,
+                   e_ins, max_mat, p):
+    """Unbanded local SW, ksw_align2 semantics (spec: the batched device
+    op ops/local_sw.ksw_align_batch).  queries/targets: lists of nt4
+    uint8 arrays; p: emulated SIMD stripe (16 = ksw_u8, 8 = ksw_i16).
+    Returns dict of int32 arrays score/te/qe/score2/te2/tb/qb."""
+    lib = _load()
+    n = len(queries)
+    q, qo = _cat(queries, np.uint8)
+    t, to = _cat(targets, np.uint8)
+    m = np.ascontiguousarray(np.asarray(mat, np.int8).reshape(-1))
+    ms = np.ascontiguousarray(minsc, np.int32)
+    outs = {k: np.zeros(n, np.int32)
+            for k in ("score", "te", "qe", "score2", "te2", "tb", "qb")}
+    rc = lib.ksw_align_host_batch(
+        n, q.ctypes.data_as(_u8p), qo.ctypes.data_as(_i64p),
+        t.ctypes.data_as(_u8p), to.ctypes.data_as(_i64p),
+        ms.ctypes.data_as(_i32p), m.ctypes.data_as(_i8p),
+        int(o_del), int(e_del), int(o_ins), int(e_ins), int(max_mat),
+        int(p), *(outs[k].ctypes.data_as(_i32p) for k in
+                  ("score", "te", "qe", "score2", "te2", "tb", "qb")))
+    if rc != 0:
+        raise MemoryError("ksw_align_host_batch native failure")
+    return outs
 
 
 def pair_batch(off0, off1, rb0, rid0, sc0, rb1, rid1, sc1, ids, ctg_off,

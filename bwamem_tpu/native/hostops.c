@@ -1142,3 +1142,193 @@ int pair_batch(int64_t n_pairs,
     free(v); free(u);
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Unbanded local SW with ksw_align2 semantics — host port of the
+ * batched device op ops/local_sw.py (itself the spec of the reference's
+ * striped ksw_u8/ksw_i16 + ksw_align2, ksw.c:112-369), used by mate
+ * rescue.  On the tunneled backend the lockstep device kernel pays
+ * ~0.3 ms per vector op over up-to-1024 target rows; these are tiny
+ * branchy DPs (150 x ~700 cells) that a scalar loop does in ~0.1 ms.
+ *
+ * Parity notes (all mirrored from ops/local_sw.py):
+ *   - phantom columns: the query acts as padded to a multiple of the
+ *     SIMD stripe p with 0-scoring bases; they carry ghost values that
+ *     can change score2/te2;
+ *   - F recurrence opens from ME=max(M,E) (striped layout), not H;
+ *   - qe = minimum column attaining the best row's max;
+ *   - score2 = b-array run merging with te +/- ceil(score/max_mat)
+ *     exclusion;
+ *   - tb/qb from a second pass over reversed prefixes with early stop
+ *     at score; -1 when the passes disagree. */
+
+static void ksw_pass_host(int qlen, int qpad, const uint8_t *query,
+                          int tlen, const uint8_t *target,
+                          int32_t endsc, const int8_t *mat,
+                          int32_t oe_del, int32_t e_del,
+                          int32_t oe_ins, int32_t e_ins,
+                          int32_t *Hp, int32_t *E, int32_t *Hmax,
+                          int32_t *rowmax,
+                          int32_t *gmax_out, int32_t *te_out)
+{
+    int i, j;
+    int32_t gmax = 0, te = -1;
+    memset(Hp, 0, sizeof(int32_t) * (size_t)qpad);
+    memset(E, 0, sizeof(int32_t) * (size_t)qpad);
+    memset(Hmax, 0, sizeof(int32_t) * (size_t)qpad);
+    for (i = 0; i < tlen; i++) {
+        int tb_ = target[i] > 4 ? 4 : target[i];
+        const int8_t *prow = mat + tb_ * 5;
+        int32_t hprev = 0, imax = 0;
+        int64_t facc = INT64_MIN / 4;
+        for (j = 0; j < qpad; j++) {
+            int32_t S = j < qlen ? prow[query[j]] : 0;
+            int32_t M = hprev + S;
+            int32_t ME, F, H, e2, h2, En;
+            int64_t cand;
+            if (M < 0) M = 0;
+            ME = M > E[j] ? M : E[j];
+            F = facc > 0 ? (int32_t)facc : 0;
+            H = ME > F ? ME : F;
+            cand = (int64_t)ME - oe_ins;
+            facc -= e_ins;
+            if (cand > facc) facc = cand;
+            e2 = E[j] - e_del;
+            h2 = H - oe_del;
+            En = e2 > h2 ? e2 : h2;
+            if (En < 0) En = 0;
+            hprev = Hp[j];
+            Hp[j] = H;
+            E[j] = En;
+            if (H > imax) imax = H;
+        }
+        rowmax[i] = imax;
+        if (imax > gmax) {
+            gmax = imax;
+            te = i;
+            memcpy(Hmax, Hp, sizeof(int32_t) * (size_t)qpad);
+            if (gmax >= endsc) {
+                for (j = i + 1; j < tlen; j++) rowmax[j] = 0;
+                break;
+            }
+        }
+    }
+    *gmax_out = gmax;
+    *te_out = te;
+}
+
+static int32_t ksw_qe_host(const int32_t *Hmax, int qpad)
+{   /* minimum column attaining max(Hmax); 0 when all zero */
+    int32_t m = 0;
+    int j;
+    for (j = 0; j < qpad; j++)
+        if (Hmax[j] > m) m = Hmax[j];
+    for (j = 0; j < qpad; j++)
+        if (Hmax[j] == m) return j;
+    return 0;
+}
+
+static void ksw_score2_host(const int32_t *rowmax, int tlen, int32_t te,
+                            int32_t score, int32_t minsc, int32_t max_mat,
+                            int32_t *s2_out, int32_t *te2_out)
+{
+    int32_t d = (score + max_mat - 1) / max_mat;
+    int32_t lo = te - d, hi = te + d;
+    int32_t entry_max = 0, entry_row = -2, best2 = -1, best2_row = -1;
+    int have = 0, i;
+    for (i = 0; i < tlen; i++) {
+        int32_t v = rowmax[i];
+        int ok = v >= minsc;
+        int adjacent = have && entry_row + 1 == i;
+        int improve = ok && adjacent && v > entry_max;
+        int newent = ok && !adjacent;
+        if (newent && have && (entry_row < lo || entry_row > hi)
+            && entry_max > best2) {
+            best2 = entry_max;
+            best2_row = entry_row;
+        }
+        if (improve || newent) { entry_max = v; entry_row = i; }
+        have = have || ok;
+    }
+    if (have && (entry_row < lo || entry_row > hi) && entry_max > best2) {
+        best2 = entry_max;
+        best2_row = entry_row;
+    }
+    *s2_out = best2;
+    *te2_out = best2_row;
+}
+
+int ksw_align_host_batch(int64_t n,
+                         const uint8_t *q, const int64_t *qoff,
+                         const uint8_t *t, const int64_t *toff,
+                         const int32_t *minsc, const int8_t *mat,
+                         int32_t o_del, int32_t e_del, int32_t o_ins,
+                         int32_t e_ins, int32_t max_mat, int32_t p,
+                         int32_t *score, int32_t *te, int32_t *qe,
+                         int32_t *score2, int32_t *te2, int32_t *tb,
+                         int32_t *qb)
+{
+    int64_t b;
+    int qpad_max = 1, t_max = 1;
+    int32_t *Hp, *E, *Hmax, *rowmax;
+    uint8_t *q2, *t2;
+    for (b = 0; b < n; b++) {
+        int ql = (int)(qoff[b + 1] - qoff[b]);
+        int tl = (int)(toff[b + 1] - toff[b]);
+        int qp = (ql + p - 1) / p * p;
+        if (qp > qpad_max) qpad_max = qp;
+        if (tl > t_max) t_max = tl;
+    }
+    Hp = malloc(sizeof(int32_t) * (size_t)qpad_max);
+    E = malloc(sizeof(int32_t) * (size_t)qpad_max);
+    Hmax = malloc(sizeof(int32_t) * (size_t)qpad_max);
+    rowmax = malloc(sizeof(int32_t) * (size_t)(t_max > 0 ? t_max : 1));
+    q2 = malloc((size_t)(qpad_max > 0 ? qpad_max : 1));
+    t2 = malloc((size_t)(t_max > 0 ? t_max : 1));
+    if (!Hp || !E || !Hmax || !rowmax || !q2 || !t2) {
+        free(Hp); free(E); free(Hmax); free(rowmax); free(q2); free(t2);
+        return -1;
+    }
+    for (b = 0; b < n; b++) {
+        const uint8_t *qb_ = q + qoff[b];
+        const uint8_t *tb_ = t + toff[b];
+        int ql = (int)(qoff[b + 1] - qoff[b]);
+        int tl = (int)(toff[b + 1] - toff[b]);
+        int qp = (ql + p - 1) / p * p;
+        int32_t gmax, te1, qe1, s2, te2_, g2, te_r, qe_r;
+        int k;
+        ksw_pass_host(ql, qp, qb_, tl, tb_, 0x10000, mat,
+                      o_del + e_del, e_del, o_ins + e_ins, e_ins,
+                      Hp, E, Hmax, rowmax, &gmax, &te1);
+        qe1 = ksw_qe_host(Hmax, qp);
+        ksw_score2_host(rowmax, tl, te1, gmax, minsc[b], max_mat,
+                        &s2, &te2_);
+        score[b] = gmax;
+        te[b] = te1;
+        qe[b] = qe1;
+        score2[b] = s2;
+        te2[b] = te2_;
+        if (gmax >= minsc[b]) {
+            int q2len = qe1 + 1, t2len = te1 + 1;
+            int q2pad = (q2len + p - 1) / p * p;
+            for (k = 0; k < q2len; k++) q2[k] = qb_[qe1 - k];
+            for (k = 0; k < t2len; k++) t2[k] = tb_[te1 - k];
+            ksw_pass_host(q2len, q2pad, q2, t2len, t2, gmax, mat,
+                          o_del + e_del, e_del, o_ins + e_ins, e_ins,
+                          Hp, E, Hmax, rowmax, &g2, &te_r);
+            qe_r = ksw_qe_host(Hmax, q2pad);
+            if (g2 == gmax) {
+                tb[b] = te1 - te_r;
+                qb[b] = qe1 - qe_r;
+            } else {
+                tb[b] = -1;
+                qb[b] = -1;
+            }
+        } else {
+            tb[b] = -1;
+            qb[b] = -1;
+        }
+    }
+    free(Hp); free(E); free(Hmax); free(rowmax); free(q2); free(t2);
+    return 0;
+}

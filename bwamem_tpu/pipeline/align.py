@@ -513,9 +513,9 @@ class Aligner:
         sequential list of mem_matesw calls; executed in lockstep rounds so
         the unbanded SW batches across pairs (device ksw_align_batch)."""
         opt = self.opt
-        import copy
         # per-pair candidate lists b[0], b[1] (snapshot copies,
         # bwamem_pair.c:293-297)
+        _t0 = timers.start("matesw.worklists")
         worklists = []
         for p in range(n_pairs):
             calls = []
@@ -528,11 +528,13 @@ class Aligner:
                 for reg in b[: opt.max_matesw]:
                     calls.append((i, copy.copy(reg)))
             worklists.append(calls)
+        timers.stop("matesw.worklists", _t0)
         step = 0
         while True:
             batch_jobs = []
             owners = []
             any_left = False
+            _t0 = timers.start("matesw.prepare")
             for p in range(n_pairs):
                 if step >= len(worklists[p]):
                     continue
@@ -549,11 +551,15 @@ class Aligner:
                     owners.append(j)
                     if j.valid:
                         batch_jobs.append(j)
+            timers.stop("matesw.prepare", _t0)
             if not any_left:
                 break
             timers.count("matesw.rounds")
             timers.count("matesw.jobs", len(batch_jobs))
+            _t0 = timers.start("matesw.sw")
             if batch_jobs:
+                from bwamem_tpu import native
+                use_native = native.available()
                 # group by ksw precision (XBYTE stripe 16 vs i16 stripe 8)
                 for p_stripe, grp in (
                         (16, [j for j in batch_jobs
@@ -561,6 +567,24 @@ class Aligner:
                         (8, [j for j in batch_jobs
                              if j.l_ms * opt.a >= 250])):
                     if not grp:
+                        continue
+                    if use_native:
+                        # these are tiny branchy DPs: the native scalar
+                        # loop beats the lockstep device kernel by >10x on
+                        # this backend (hostops.c ksw_align_host_batch;
+                        # the device op stays the spec and fallback)
+                        refs = [fin.get_seq_np(self.pac, self.l_pac,
+                                               j.rb, j.re) for j in grp]
+                        minsc = [opt.min_seed_len * opt.a] * len(grp)
+                        r = native.ksw_align_host(
+                            [j.seq for j in grp], refs, minsc, self._mat,
+                            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                            int(opt.a), p_stripe)
+                        for b, j in enumerate(grp):
+                            j.result = (int(r["score"][b]), int(r["tb"][b]),
+                                        int(r["te"][b]), int(r["qb"][b]),
+                                        int(r["qe"][b]),
+                                        int(r["score2"][b]))
                         continue
                     LQ = max(len(j.seq) for j in grp)
                     LT = max(j.re - j.rb for j in grp)
@@ -582,13 +606,16 @@ class Aligner:
                         j.result = (int(res.score[b]), int(res.tb[b]),
                                     int(res.te[b]), int(res.qb[b]),
                                     int(res.qe[b]), int(res.score2[b]))
+            timers.stop("matesw.sw", _t0)
             # apply in (pair, r) order — r ascending within each call
+            _t0 = timers.start("matesw.apply")
             for j in owners:
                 ma = all_regs[2 * j.pair_i + j.end]
                 if j.valid:
                     sc, tb, te, qb, qe, sc2 = j.result
                     pairmod.apply_matesw_result(opt, self.l_pac, j, sc, tb,
                                                 te, qb, qe, sc2, ma)
+            timers.stop("matesw.apply", _t0)
             step += 1
 
     def align_batch_pe(self, reads: list[Read], n_processed: int = 0,
