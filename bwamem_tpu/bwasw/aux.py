@@ -630,7 +630,7 @@ def bsw2_aln(opt, idx, fn1, fn2=None, out=sys.stdout, err=sys.stderr):
 
     hfm = HostFM(idx)
     fm_dev = fmops.to_device(fmops.fm_from_index(idx))
-    it = np.asarray(fm_dev.L2).dtype
+    it = np.dtype(fm_dev.L2.dtype)
 
     def sa_lookup(ranks: np.ndarray) -> np.ndarray:
         n = len(ranks)

@@ -352,7 +352,7 @@ def cmd_fastmap(argv: list[str]) -> int:
 
     idx = load_index(args[0])
     fm = fmops.to_device(fmops.fm_from_index(idx))
-    it = np.asarray(fm.L2).dtype
+    it = np.dtype(fm.L2.dtype)
     offs = idx.contig_offsets()
     names = [c.name for c in idx.contigs]
     l_pac = int(idx.l_pac)
@@ -485,7 +485,7 @@ def cmd_maxk(argv: list[str]) -> int:
 
     idx = load_index(args[0])
     fm = fmops.to_device(fmops.fm_from_index(idx))
-    it = np.asarray(fm.L2).dtype
+    it = np.dtype(fm.L2.dtype)
     hist = np.zeros(256, np.int64)
 
     for batch in batches(read_fastx(args[1]), 4096):

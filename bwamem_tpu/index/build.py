@@ -184,31 +184,79 @@ def suffix_array(t: np.ndarray) -> np.ndarray:
         k <<= 1
 
 
+_CHUNK = 1 << 26      # streaming block for giga-scale builds (0.5 GB i64)
+
+
+def suffix_array_full(t: np.ndarray) -> np.ndarray:
+    """SA over ranks 0..n of the sentinel-terminated text: [0] == n (the
+    sentinel suffix), [1:] == suffix_array(t).  The native SA-IS buffer
+    already has exactly this layout, so giga-scale builds avoid an
+    n-sized int64 copy."""
+    n = len(t)
+    try:
+        from bwamem_tpu.index import native
+        if n and native.available():
+            return native.suffix_array_sais(
+                np.ascontiguousarray(t, np.uint8), full=True)
+    except Exception:
+        pass
+    sa_full = np.empty(n + 1, dtype=np.int64)
+    sa_full[0] = n
+    sa_full[1:] = suffix_array(t)
+    return sa_full
+
+
 def bwt_from_sa(t: np.ndarray, sa: np.ndarray):
     """BWT string (sentinel removed) + primary + SA_full, matching is_bwt
     (reference is.c:208-223): BWT over ranks 0..n of the sentinel-terminated
     text, with the rank whose suffix starts at 0 (the sentinel output
-    position, `primary`) removed."""
+    position, `primary`) removed.
+
+    Chunked: the old one-shot formulation materialized three extra
+    n-sized int64 temporaries (prev, the np.delete copy, and the fancy-
+    index result) — ~48 GB at 1 Gbp, the OOM driver of giga-scale builds."""
     n = len(t)
     sa_full = np.empty(n + 1, dtype=np.int64)
     sa_full[0] = n          # sentinel suffix is rank 0
     sa_full[1:] = sa
+    return (*_bwt_from_sa_full(t, sa_full), sa_full)
+
+
+def _bwt_from_sa_full(t: np.ndarray, sa_full: np.ndarray):
+    """(bwt, primary) from the full rank array, chunked, no big copies."""
+    n = len(t)
     primary = int(np.flatnonzero(sa_full == 0)[0])
-    prev = sa_full - 1      # BWT char = t[SA[r]-1]; rank 0 → t[n-1]
-    prev[0] = n - 1
-    bwt = t[np.delete(prev, primary)]
-    return bwt.astype(np.uint8), primary, sa_full
+    bwt = np.empty(n, dtype=np.uint8)
+    for s in range(0, n + 1, _CHUNK):
+        blk = sa_full[s: s + _CHUNK]
+        prev = blk - 1                       # BWT char = t[SA[r]-1]
+        if s == 0:
+            prev[0] = n - 1                  # rank 0 → t[n-1]
+        vals = t[prev]                       # prev == -1 only at primary
+        ranks = np.arange(s, s + len(blk), dtype=np.int64)
+        out = ranks - (ranks > primary)      # np.delete(x, primary) slots
+        keep = ranks != primary
+        bwt[out[keep]] = vals[keep]
+    return bwt, primary
 
 
 def pack_bwt_words(bwt: np.ndarray) -> np.ndarray:
     """BWT codes → uint32 words, base i at bits ((15-(i&15))<<1) of word i>>4
-    (reference bwt.h:74-80 layout, occ-interleave removed)."""
+    (reference bwt.h:74-80 layout, occ-interleave removed).  Chunked: the
+    one-shot u32 widening was a 4x-sized temporary at giga-scale."""
     n = len(bwt)
-    pad = (-n) % 16
-    c = np.concatenate([bwt, np.zeros(pad, dtype=np.uint8)]).astype(np.uint32)
-    c = c.reshape(-1, 16)
+    nw = (n + 15) // 16
+    out = np.empty(nw, dtype=np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (c << shifts).sum(axis=1, dtype=np.uint32)
+    step = _CHUNK           # multiple of 16
+    for s in range(0, nw, step // 16):
+        b = bwt[s * 16: s * 16 + step]
+        pad = (-len(b)) % 16
+        if pad:
+            b = np.concatenate([b, np.zeros(pad, dtype=np.uint8)])
+        c = b.astype(np.uint32).reshape(-1, 16)
+        out[s: s + len(c)] = (c << shifts).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def unpack_bwt_words(words: np.ndarray, n: int) -> np.ndarray:
@@ -248,22 +296,29 @@ def build_kmer_table(sa_full: np.ndarray, t: np.ndarray, k: int = KMER_K):
     if n < k:
         z = np.zeros(4 ** k, dtype=np.int64)
         return z, z.copy(), z.copy()
-    # k-mer code of every position with a full k-mer
-    codes = np.zeros(n - k + 1, dtype=np.int64)
-    for i in range(k):
-        codes = codes * 4 + t[i: n - k + 1 + i]
-    # group ranks by code (suffixes with the same k-mer prefix are contiguous)
-    rank_codes = np.full(n + 1, -1, dtype=np.int64)
-    valid = sa_full <= n - k
-    rank_codes[valid] = codes[sa_full[valid]]
+    # Group ranks by code: suffixes sharing a k-mer prefix are contiguous
+    # in rank order, so the per-code first rank (x0) and count (size) can
+    # be accumulated streaming over rank blocks — the old formulation
+    # materialized four n-sized int64 arrays (codes, rank_codes, vr, vc),
+    # ~60 GB at 1 Gbp.
     x0 = np.zeros(4 ** k, dtype=np.int64)
     size = np.zeros(4 ** k, dtype=np.int64)
-    vr = np.flatnonzero(rank_codes >= 0)
-    vc = rank_codes[vr]
-    # first occurrence per code and counts
-    uniq, first_idx, counts = np.unique(vc, return_index=True, return_counts=True)
-    x0[uniq] = vr[first_idx]
-    size[uniq] = counts
+    t64 = t  # u8; gathered per chunk
+    for s in range(0, n + 1, _CHUNK):
+        blk = sa_full[s: s + _CHUNK]
+        validm = blk <= n - k
+        pos = blk[validm]
+        if pos.size == 0:
+            continue
+        code = np.zeros(pos.size, dtype=np.int64)
+        for i in range(k):
+            code = code * 4 + t64[pos + i]
+        ranks = s + np.flatnonzero(validm)
+        uniq, first_idx, counts = np.unique(code, return_index=True,
+                                            return_counts=True)
+        new = size[uniq] == 0
+        x0[uniq[new]] = ranks[first_idx[new]]
+        size[uniq] += counts
     # x1 = x0 of reverse-complement code
     digits = np.arange(4 ** k, dtype=np.int64)
     rc = np.zeros(4 ** k, dtype=np.int64)
@@ -285,8 +340,10 @@ def build_index(fasta_path: str, with_kmer_table: bool = False,
     fwd, contigs, ambs = pack_fasta(fasta_path)
     l_pac = len(fwd)
     both = np.concatenate([fwd, 3 - fwd[::-1]])  # + reverse complement
-    sa = suffix_array(both)
-    bwt, primary, sa_full = bwt_from_sa(both, sa)
+    pac = pack_2bit(fwd)
+    del fwd
+    sa_full = suffix_array_full(both)
+    bwt, primary = _bwt_from_sa_full(both, sa_full)
     counts = np.bincount(both, minlength=4).astype(np.int64)
     l2 = np.zeros(5, dtype=np.int64)
     np.cumsum(counts, out=l2[1:])
@@ -299,17 +356,21 @@ def build_index(fasta_path: str, with_kmer_table: bool = False,
     kmer = None
     if with_kmer_table:
         kmer = build_kmer_table(sa_full, both)
+    del sa_full, both
+    bwt_words = pack_bwt_words(bwt)
+    occ = occ_checkpoints(bwt)
+    del bwt
 
     idx = BwaIndex(
         l_pac=l_pac,
         seq_len=n,
         primary=primary,
         L2=l2,
-        bwt_words=pack_bwt_words(bwt),
-        occ=occ_checkpoints(bwt),
+        bwt_words=bwt_words,
+        occ=occ,
         sa_samples=sa_samples,
         sa_intv=sa_interval,
-        pac=pack_2bit(fwd),
+        pac=pac,
         contigs=contigs,
         ambs=ambs,
         kmer_table=kmer,

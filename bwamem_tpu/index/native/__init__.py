@@ -51,17 +51,21 @@ def available() -> bool:
     return _load() is not None
 
 
-def suffix_array_sais(t: np.ndarray) -> np.ndarray:
+def suffix_array_sais(t: np.ndarray, full: bool = False) -> np.ndarray:
     """Suffix array of `t` (small non-negative integer codes) under an
     implicit terminal sentinel smaller than every symbol; returns the n
     real suffix positions in rank order (sentinel suffix excluded) —
-    exactly the contract of index.build.suffix_array."""
+    exactly the contract of index.build.suffix_array.  With full=True,
+    returns the whole (n+1)-rank array including the sentinel at rank 0
+    (sa[0] == n) without slicing — giga-scale callers use the buffer
+    directly as SA_full."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native sais unavailable")
     n = len(t)
     if n == 0:
-        return np.zeros(0, dtype=np.int64)
+        return (np.asarray([0], np.int64) if full
+                else np.zeros(0, dtype=np.int64))
     hi = int(t.max())
     s = np.empty(n + 1, dtype=np.uint8)
     s[:n] = t + 1                      # shift so 0 is free for the sentinel
@@ -74,4 +78,4 @@ def suffix_array_sais(t: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("sais failed")
     assert sa[0] == n                  # sentinel suffix ranks first
-    return sa[1:]
+    return sa if full else sa[1:]

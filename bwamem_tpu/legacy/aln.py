@@ -177,7 +177,7 @@ class OccBatcher:
 
     def __init__(self, fm):
         self.fm = fm
-        self.it = np.dtype(np.asarray(fm.L2).dtype)
+        self.it = np.dtype(fm.L2.dtype)
 
     def query(self, km1: np.ndarray, l: np.ndarray):
         B = len(km1)

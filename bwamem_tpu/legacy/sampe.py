@@ -513,7 +513,7 @@ def _batched_sa2pos(fm, l_pac: int, reqs: list[tuple[int, int]]):
         return []
     B = len(reqs)
     Bp = _bucket(B, lo=64)
-    it = np.asarray(fm.L2).dtype
+    it = np.dtype(fm.L2.dtype)
     r = np.zeros(Bp, it)
     r[:B] = np.asarray([x[0] for x in reqs], np.int64)
     pos_fr = np.asarray(fmops.sa_lookup(fm, jnp.asarray(r)))[:B]

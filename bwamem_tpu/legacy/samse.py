@@ -189,7 +189,7 @@ def cal_pac_pos_batch(fm, l_pac: int, seqs: list[SeqSE], max_mm: int,
     if ranks:
         B = len(ranks)
         Bp = _bucket(B, lo=64)
-        it = np.asarray(fm.L2).dtype
+        it = np.dtype(fm.L2.dtype)
         r = np.zeros(Bp, it)
         r[:B] = np.asarray(ranks, np.int64)
         pos_fr = np.asarray(fmops.sa_lookup(fm, jnp.asarray(r)))[:B]

@@ -54,6 +54,16 @@ def _bucket(x: int, lo: int = 32) -> int:
     return n
 
 
+def _lbucket(x: int) -> int:
+    """Read-length pad: next multiple of 32, not the next power of two.
+    The front half's scan trip counts grow with the padded L (t1s ~ 1.5L),
+    so padding 150bp reads to 256 wasted ~40% of every seeding scan;
+    sequencing runs have near-uniform read lengths, so the finer
+    granularity costs at most a handful of extra shape families (each
+    keyed separately in the arena-hwm history)."""
+    return max(32, -(-x // 32) * 32)
+
+
 def raw_mapq(diff: int, a: int) -> int:
     """bwamem_pair.c:276"""
     return int(6.02 * diff / a + .499)
@@ -193,7 +203,7 @@ class Aligner:
         from bwamem_tpu.pipeline import device_front
         n = len(reads)
         N = _bucket(n, lo=8)
-        L = _bucket(max(r.l_seq for r in reads), lo=32)
+        L = _lbucket(max(r.l_seq for r in reads))
         seq, l_seq = pack_batch(reads, N, L)
         tok = None
         if (device_front.supported(self, reads)
@@ -268,7 +278,7 @@ class Aligner:
         n = len(reads)
         if seq is None:
             N = _bucket(n, lo=8)
-            L = _bucket(max(r.l_seq for r in reads), lo=32)
+            L = _lbucket(max(r.l_seq for r in reads))
             seq, l_seq = pack_batch(reads, N, L)
         groups = seeding_host.front_half(self, reads, seq, l_seq)
         out: list[list[fin.AlnReg]] = [[] for _ in range(n)]
@@ -630,7 +640,13 @@ class Aligner:
             return []
         assert len(reads) % 2 == 0, "PE batch must be interleaved pairs"
         n_pairs = len(reads) // 2
-        all_regs = self._regs_from_device(reads, _front)
+        from bwamem_tpu import native
+        # with the native matesw-SW + CIGAR + SAM kernels the device is
+        # done with this batch after the front fetch — prefetch the next
+        # batch's front there so the whole PE host tail overlaps device
+        # compute (same schedule as align_batch_se)
+        early = _prefetch if native.available() else None
+        all_regs = self._regs_from_device(reads, _front, _prefetch=early)
 
         if pes0 is not None:
             pes = pairmod.pes_from_spec(pes0)
@@ -824,7 +840,7 @@ class Aligner:
         with timers.section("cigar.jobs"):
             fin.run_cigar_jobs(opt, self.pac, self.l_pac, jobs,
                                self._device_global)
-        if _prefetch is not None:
+        if _prefetch is not None and early is None:
             _prefetch()
 
         # phase C

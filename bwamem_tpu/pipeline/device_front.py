@@ -681,9 +681,11 @@ def _hist_path(al) -> str | None:
     d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not d:
         return None
-    fp = (f"{int(np.asarray(al.fm.seq_len))}-"
-          f"{int(np.asarray(al.fm.primary))}-{len(al.ctg_names)}-"
-          f"{jax.default_backend()}")
+    # host-side index metadata only: materializing fm.* device scalars
+    # here would enqueue a D2H behind whatever is in flight on the stream
+    # (a hidden sync — the class of bug behind the round-4 stream wedge)
+    fp = (f"{int(al.idx.seq_len)}-{int(al.idx.primary)}-"
+          f"{len(al.ctg_names)}-{jax.default_backend()}")
     return os.path.join(d, f"front_hwm_{fp}.json")
 
 
@@ -856,11 +858,17 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
 
     with timers.section("front.dispatch"):
         arrs = _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr)
-        for arr in arrs:
-            try:
-                arr.copy_to_host_async()
-            except Exception:
-                pass
+        if os.environ.get("BWAMEM_TPU_ASYNC_D2H") == "1":
+            # Speculative D2H starts save ~100ms/batch on a healthy
+            # transport, but ~12 queued copy requests behind a 6-program
+            # chain can stall this tunnel for many minutes (round-5
+            # bisect: the same chain runs in seconds when copies are
+            # requested one stage at a time).  Off by default.
+            for arr in arrs:
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass
     return dict(abort=False, reads=reads, n=n, N=N, Lr=Lr, hist=hist,
                 sizes=sizes, use_kmer=use_kmer, fallback=fallback,
                 seq_dev=seq_dev, l_dev=l_dev, arrs=arrs, nsh=nsh,
@@ -930,11 +938,12 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
     retries = 0
     while True:
         with timers.section("front.fetch"):
-            for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
-                try:
-                    arr.copy_to_host_async()
-                except Exception:
-                    pass
+            if os.environ.get("BWAMEM_TPU_ASYNC_D2H") == "1":
+                for arr in (meta_all, out32, out_it, chain32, c_pos, scl):
+                    try:
+                        arr.copy_to_host_async()
+                    except Exception:
+                        pass
             _dbg("fetch meta...")
             meta_all = fetchguard.fetch([meta_all],
                                         what="front.meta")[0]
@@ -1127,7 +1136,7 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
                              seeds.qbeg, seeds.len, seeds.rbeg, items32,
                              items_it, **s6)
     _dbg("dispatch done")
-    it = np.asarray(al.fm.L2).dtype
+    it = np.dtype(al.fm.L2.dtype)
     meta_all = jnp.concatenate([m1, m2, m3, m4, m5])
     scl = jnp.stack([seed_cnt.astype(it), l_rep])
     return meta_all, out32, out_it, chain32, c_pos, scl
@@ -1173,7 +1182,7 @@ def _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6):
         out_mask=("ax1", "ax1"))(
             al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg,
             seeds.len, seeds.rbeg, items32, items_it)
-    it = np.asarray(al.fm.L2).dtype
+    it = np.dtype(al.fm.L2.dtype)
     meta_all = jnp.concatenate([m1, m2, m3, m4, m5])   # [40, nsh]
     scl = jnp.stack([seed_cnt.astype(it), l_rep])      # [2, N]
     return meta_all, out32, out_it, chain32, c_pos, scl

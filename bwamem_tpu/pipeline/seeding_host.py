@@ -220,7 +220,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
     if M:
         with timers.section("seed.sa_walk"):
             Mp = _shapes.lanes(M, fine_lo=256, coarse_lo=1024)
-            rk = np.zeros(Mp, dtype=np.asarray(al.fm.sa).dtype)
+            rk = np.zeros(Mp, dtype=np.dtype(al.fm.sa.dtype))
             rk[:M] = ranks
             sa_fn = (_sa_lookup_jit if mesh is None else
                      pmesh.rowmap(mesh, _sa_lookup_jit, (), (True, False)))
@@ -255,7 +255,7 @@ def front_half(al, reads, seq: np.ndarray, l_seq: np.ndarray,
             l_rep[i] = lr + (e - b)
 
     # ---- group reads by seed count; chain at snug shapes ----
-    it = np.asarray(al.fm.L2).dtype
+    it = np.dtype(al.fm.L2.dtype)
     order = np.argsort(read_of, kind="stable")
     starts = np.concatenate([[0], np.cumsum(seed_cnt)])
 

@@ -26,7 +26,12 @@ import threading
 
 import numpy as np
 
-DEFAULT_TIMEOUT = float(os.environ.get("BWAMEM_TPU_FETCH_TIMEOUT", "240"))
+# Default must sit well above the tunnel's worst LEGITIMATE stall: the
+# backend's first device use in a process can take ~200s (measured: a
+# trivial op's first fetch at 198s, device healthy), and a watchdog that
+# fires during that window turns a slow fetch into a real stream wedge
+# (the abandoned in-flight copy + new dispatches jam the tunnel).
+DEFAULT_TIMEOUT = float(os.environ.get("BWAMEM_TPU_FETCH_TIMEOUT", "900"))
 
 _suspect = False
 
