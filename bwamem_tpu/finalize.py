@@ -491,9 +491,10 @@ class Aln:
     XA: Optional[str] = None
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class CigarJob:
-    """One mem_reg2aln global-alignment job (bwamem.c:1099-1169)."""
+    """One mem_reg2aln global-alignment job (bwamem.c:1099-1169).
+    slots: ~10k instances per batch in phase-A selection."""
     reg: AlnReg
     query: np.ndarray          # full read, nt4
     l_query: int
