@@ -23,6 +23,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
+# persistent executable cache + arena-hwm history (same location bench.py
+# uses) — without it every attempt at a giga-scale shape recompiles and
+# re-walks the arena growth from cold defaults
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jaxcache"))
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -105,3 +105,30 @@ print("[bisect] ALL STAGES OK; meta flags:",
       [int(x) for x in np.asarray(m1)[:2]],
       [int(x) for x in np.asarray(m2)[:2]],
       [int(x) for x in np.asarray(m5)[:3]], flush=True)
+
+# ---- steady-state per-stage timing: everything compiled; rerun each
+# stage serially, blocking on its meta before the next (rep 2+ is the
+# number that matters) ----
+for rep in range(int(os.environ.get("BISECT_REPS", "3"))):
+    row = []
+    for name, fn in (
+        ("p1", lambda: df._p1_jit(al.fm, seq_dev, l_dev, **s1)),
+        ("p2", lambda: df._p2_jit(al.fm, seq_dev, l_dev, sec1, m1[0],
+                                  **s2)),
+        ("p3", lambda: df._p3_jit(al.fm, seq_dev, l_dev, **s3)),
+        ("expand", lambda: df._expand_jit(al.fm, al.ctg_offsets, sec1,
+                                          m1[0], sec2, m2[0], sec3, m3[0],
+                                          **s4)),
+        ("chain", lambda: df._chain_jit(al.fm, al.ctg_offsets,
+                                        al.ctg_is_alt, seeds, l_dev,
+                                        **s5)),
+        ("ext", lambda: df._ext_jit(al.fm, seq_dev, l_dev, seed_chain,
+                                    seeds.valid, seeds.qbeg, seeds.len,
+                                    seeds.rbeg, items32, items_it, **s6)),
+    ):
+        t0 = time.perf_counter()
+        out = fn()
+        metas = [a for a in out if a is not None]
+        fetchguard.fetch(metas[-1:], what=name, timeout=600)
+        row.append(f"{name}={1e3 * (time.perf_counter() - t0):.0f}ms")
+    print(f"[bisect] steady rep {rep}: " + " ".join(row), flush=True)
