@@ -120,6 +120,11 @@ WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.mark.skipif(
+    os.environ.get("BWAMEM_TPU_SKIP_SPAWN") == "1",
+    reason="2-process jax.distributed spawn skipped by request "
+           "(BWAMEM_TPU_SKIP_SPAWN=1): ~4 min of the suite; the in-process "
+           "multihost tests above cover the sharded-merge semantics")
 def test_multihost_two_process_cpu(tiny_dataset, built_index, tmp_path):
     """Real jax.distributed over 2 CPU processes: both ranks initialize
     against a local coordinator, align their chunks, and the merged shards
