@@ -71,6 +71,7 @@ def _load():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                _u8p, _i64p, _i64p,              # has_res, out_need, out_nn
                 _i64p, _i64p, _i32p]
             lib.ksw_align_host_batch.restype = ctypes.c_int
             lib.ksw_align_host_batch.argtypes = [
@@ -242,18 +243,26 @@ def pair_batch(off0, off1, rb0, rid0, sc0, rb1, rid1, sc1, ids, ctg_off,
 
 def replay_batch(ch_base, c_w, c_beg, c_end, c_alt, c_pos, c_rid,
                  it_base, i_chain, i_qbeg, i_len, i_rbeg,
-                 n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt):
+                 n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt,
+                 has_res=None):
     """mem_chain_flt + mem_chain2aln accept/skip replay over read-major
     flat arenas (spec: pipeline/device_front._replay).  Returns
     (out_base [n+1] i64, out_m [emitted] i64 global item indices,
-    out_rid [emitted] i32) in emission order."""
+    out_rid [emitted] i32, needed [k] i64) in emission order.  `needed`
+    is empty unless `has_res` (per-item u8 result mask) is given; then it
+    lists items the walk would emit that lack extension results (the
+    two-round driver's prepass / final-pass contract, hostops.c)."""
     lib = _load()
     n_reads = len(ch_base) - 1
     n_it = int(it_base[-1])
     out_base = np.zeros(n_reads + 1, np.int64)
     out_m = np.zeros(max(n_it, 1), np.int64)
     out_rid = np.zeros(max(n_it, 1), np.int32)
+    out_need = np.zeros(max(n_it, 1), np.int64)
+    out_nn = np.zeros(1, np.int64)
     c = np.ascontiguousarray
+    hr = (None if has_res is None
+          else c(has_res, np.uint8).ctypes.data_as(_u8p))
     rc = lib.replay_batch(
         n_reads,
         c(ch_base, np.int64).ctypes.data_as(_i64p),
@@ -280,12 +289,13 @@ def replay_batch(ch_base, c_w, c_beg, c_end, c_alt, c_pos, c_rid,
         int(opt.min_chain_weight), int(opt.max_chain_extend),
         int(opt.a), int(opt.o_del), int(opt.e_del),
         int(opt.o_ins), int(opt.e_ins), int(opt.w),
+        hr, out_need.ctypes.data_as(_i64p), out_nn.ctypes.data_as(_i64p),
         out_base.ctypes.data_as(_i64p), out_m.ctypes.data_as(_i64p),
         out_rid.ctypes.data_as(_i32p))
     if rc != 0:
         raise MemoryError("replay_batch native failure")
     n_out = int(out_base[-1])
-    return out_base, out_m[:n_out], out_rid[:n_out]
+    return out_base, out_m[:n_out], out_rid[:n_out], out_need[:int(out_nn[0])]
 
 
 def sam_render_batch(fields, names, cigars, seqs, quals, mds, mcs, sas,

@@ -615,8 +615,19 @@ int64_t sam_batch(int64_t n_lines, const int32_t *fields,
  *           n_qb/n_qe/score/truesc/n_w/seedcov (int32), n_rb/n_re (int64)
  *           — the extension result used for emitted-reg overlap tests.
  * skip: per-read u8, 1 = leave read untouched (host-fallback row).
+ * has_res: per-item u8 (NULL = every item has an extension result).  The
+ * two-round extension driver (device_front round-5 plan) calls this twice:
+ * a PREPASS with only the srt-first item of each chain extended — items the
+ * walk would emit but that lack a result are appended to out_need instead
+ * of emitted (their region never enters the containment tests, which only
+ * ever removes skips: fewer regions -> fewer skips -> out_need is a
+ * superset of what the exact walk extends) — and a FINAL pass with the
+ * round-2 results merged in, where a still-unresolved item demotes its
+ * read to the host-front fallback (out_need again; caller discards the
+ * read's emission).
  * Outputs: out_base[n+1]; per accepted item out_m (global item index,
- * int64) and out_rid (int32), in emission order.  Caller materializes
+ * int64) and out_rid (int32), in emission order; out_need/out_nn (may be
+ * NULL) collect result-less would-emit items.  Caller materializes
  * AlnReg objects.  Returns 0, -2 on alloc failure.
  * ---------------------------------------------------------------------- */
 
@@ -754,8 +765,10 @@ int replay_batch(int64_t n_reads,
                  int32_t min_chain_weight, int32_t max_chain_extend,
                  int32_t a_sc, int32_t o_del, int32_t e_del,
                  int32_t o_ins, int32_t e_ins, int32_t w_opt,
+                 const uint8_t *has_res, int64_t *out_need, int64_t *out_nn,
                  int64_t *out_base, int64_t *out_m, int32_t *out_rid)
 {
+    int64_t nn = 0;
     int64_t cmax = 0, imax = 0;
     for (int64_t r = 0; r < n_reads; r++) {
         int64_t nc = ch_base[r + 1] - ch_base[r];
@@ -984,12 +997,19 @@ int replay_batch(int64_t n_reads,
                 }
                 if (!differs) { marks[k] = 0; continue; }
             }
+            if (has_res && !has_res[gm]) {
+                /* would emit, but no extension result yet */
+                if (out_need) out_need[nn] = gm;
+                nn++;
+                continue;
+            }
             out_m[emit] = gm;
             out_rid[emit] = c_rid[cb + wchain[k]];
             emit++;
         }
     }
     out_base[n_reads] = emit;
+    if (out_nn) *out_nn = nn;
 
     free(trav); free(wi); free(srt); free(kept); free(first);
     free(keep_list); free(kept_ids); free(cnt); free(coff);

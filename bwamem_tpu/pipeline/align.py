@@ -241,6 +241,10 @@ class Aligner:
             # survives a full stream on the live chip.
             early = (_prefetch if _prefetch is not None and
                      os.environ.get("BWAMEM_TPU_EARLY_DISPATCH") == "1"
+                     # two-round extension dispatches round 2 inside
+                     # front_finish; an early next-front would queue ahead
+                     # of it and the round-2 fetch would wait a whole front
+                     and not front["tok"].get("sizes", {}).get("a_sel")
                      else None)
             out, fb_rows = device_front.front_finish(self, front["tok"],
                                                      _early=early)

@@ -480,16 +480,14 @@ def _ext_kernel(qT, qlen, tT, tlen, h0, eb, *, w_opt, lq_max, t_max, use_pl,
     return res, retry.astype(i32)
 
 
-def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
-             seeds_rbeg, items32, items_it, *, lq_max, t_max, mat_bytes,
-             o_del, e_del, o_ins, e_ins, zdrop, w_opt, a, pen_clip5,
-             pen_clip3, interpret=False, use_pl=True):
-    """Fused left+right extension for the flat work items + per-item seedcov
-    (mem_chain2aln extension body, bwamem.c:717-786).  Returns one stacked
-    i32 block [11, A] and one index-typed block [3, A] in the INPUT item
-    order."""
-    i_read, i_slot, i_chain, i_qbeg, i_len = (items32[k] for k in range(5))
-    i_rbeg, i_r0, i_r1 = (items_it[k] for k in range(3))
+def _ext_core(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
+              seeds_rbeg, iv, *, lq_max, t_max, mat_bytes,
+              o_del, e_del, o_ins, e_ins, zdrop, w_opt, a, pen_clip5,
+              pen_clip3, interpret=False, use_pl=True):
+    """Fused left+right extension for a vector of work items + per-item
+    seedcov (mem_chain2aln extension body, bwamem.c:717-786).  Returns the
+    14 per-item result vectors in the INPUT item order."""
+    i_read, i_slot, i_chain, i_qbeg, i_len, i_rbeg, i_r0, i_r1 = iv
     i32 = jnp.int32
     it = seeds_rbeg.dtype
     B = i_read.shape[0]
@@ -586,11 +584,104 @@ def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
         (pos_s, i_read, i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe,
          score_f, truesc_f, n_w, seedcov, i_rbeg, n_rb.astype(it),
          n_re.astype(it)), num_keys=1)
+    return (i_read, i_slot, i_chain, i_qbeg, i_len, n_qb.astype(i32),
+            n_qe.astype(i32), score_f, truesc_f, n_w, seedcov,
+            i_rbeg, n_rb, n_re)
+
+
+def _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg, seeds_len,
+              seeds_rbeg, items32, items_it, n_item, *, lq_max, t_max,
+              mat_bytes, o_del, e_del, o_ins, e_ins, zdrop, w_opt, a,
+              pen_clip5, pen_clip3, sel_cap=0, c_cap=0, interpret=False,
+              use_pl=True):
+    """EXT program: speculative fused extension over the flat item arena.
+
+    sel_cap == 0: every lane extends (single-round mode; also the round-2
+    program over a host-built item subset).  Output row 11 (has-result) is
+    all ones.
+
+    sel_cap > 0: TWO-ROUND mode, round 1 — only the srt-first work item of
+    each (read, chain) group extends (the item the sequential accept/skip
+    walk, bwamem.c:669-676 DESC srt order, processes first; its region is
+    what the walk's containment skip test consults for the rest of the
+    chain, so extending it first lets the host prepass kill ~half the
+    remaining items before they ever reach the kernel — the measured
+    round-5 waste split: 56.4% of speculative items die in that walk).
+    The selection compacts to a `sel_cap`-lane arena; results scatter back
+    to the full arena with row 11 marking which items have results.  If
+    more than sel_cap groups exist the excess chains simply get no round-1
+    result — the host prepass then routes ALL their items to round 2,
+    which is correct (just less selective), so truncation needs no retry.
+
+    Returns (out32 [12, A] i32, out_it [3, A] index-typed, m6 [8] i32
+    meta; m6[0] = selected-group count for a_sel hwm tracking)."""
+    i_read, i_slot, i_chain, i_qbeg, i_len = (items32[k] for k in range(5))
+    i_rbeg, i_r0, i_r1 = (items_it[k] for k in range(3))
+    i32 = jnp.int32
+    A = i_read.shape[0]
+    kcore = dict(lq_max=lq_max, t_max=t_max, mat_bytes=mat_bytes,
+                 o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                 zdrop=zdrop, w_opt=w_opt, a=a, pen_clip5=pen_clip5,
+                 pen_clip3=pen_clip3, interpret=interpret, use_pl=use_pl)
+    if sel_cap == 0:
+        r = _ext_core(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
+                      seeds_len, seeds_rbeg,
+                      (i_read, i_slot, i_chain, i_qbeg, i_len, i_rbeg,
+                       i_r0, i_r1), **kcore)
+        out32 = jnp.stack(list(r[:11]) + [jnp.ones((A,), i32)])
+        out_it = jnp.stack([r[11], r[12], r[13]])
+        return out32, out_it, jnp.zeros((8,), i32)
+
+    # ---- round-1 selection: srt-first item per (read, chain) ----
+    posA = jnp.arange(A, dtype=i32)
+    valid = posA < n_item
+    NG = l_seq.shape[0] * c_cap
+    gid = jnp.where(valid,
+                    i_read * c_cap + jnp.clip(i_chain, 0, c_cap - 1), NG)
+    # srt walks (len desc, insertion idx desc); within a read the arena is
+    # in insertion (m asc) order, so (len, global pos) max = the first item
+    pk = (i_len.astype(jnp.int64) << 32) | posA.astype(jnp.int64)
+    gmax = jnp.full((NG + 1,), -1, jnp.int64).at[gid].max(pk)
+    is_first = valid & (gmax[gid] == pk)
+    n_sel = is_first.astype(i32).sum(dtype=i32)
+    skey = jnp.where(is_first, 0, 1).astype(i32)
+    (sk_s, sel_pos, s_read, s_slot, s_chain, s_qbeg, s_len, s_rbeg, s_r0,
+     s_r1) = jax.lax.sort(
+        (skey, posA, i_read, i_slot, i_chain, i_qbeg, i_len, i_rbeg,
+         i_r0, i_r1), num_keys=2)
+    sk_s, sel_pos = sk_s[:sel_cap], sel_pos[:sel_cap]
+    has_lane = sk_s == 0
+    # pad/unselected lanes: zero both extension windows so their kernel
+    # tiles retire immediately (they sort to the cheap end anyway)
+    s_qbeg = jnp.where(has_lane, s_qbeg[:sel_cap], 0)
+    s_len = jnp.where(has_lane, s_len[:sel_cap], 0)
+    s_rbeg = s_rbeg[:sel_cap]
+    s_r0 = jnp.where(has_lane, s_r0[:sel_cap], s_rbeg)
+    s_r1 = jnp.where(has_lane, s_r1[:sel_cap], s_rbeg)
+    r = _ext_core(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
+                  seeds_len, seeds_rbeg,
+                  (s_read[:sel_cap], s_slot[:sel_cap], s_chain[:sel_cap],
+                   s_qbeg, s_len, s_rbeg, s_r0, s_r1), **kcore)
+    tgt = jnp.where(has_lane, sel_pos, A)
+
+    def back(x):
+        return jnp.zeros((A,), x.dtype).at[tgt].set(x, mode="drop")
+
+    has_row = jnp.zeros((A,), i32).at[tgt].set(1, mode="drop")
+    # identity rows keep the FULL arena values — the host walk reads the
+    # seed fields of every item, extended or not.  Result-less lanes keep
+    # their INPUT windows (rmax0/rmax1) in rows 1-2: that is exactly what
+    # the round-2 dispatch needs back (the walk itself only ever reads
+    # rows 1-2 of EMITTED items, which always carry results).
+    hasb = has_row.astype(bool)
     out32 = jnp.stack([i_read, i_slot, i_chain, i_qbeg, i_len,
-                       n_qb.astype(i32), n_qe.astype(i32), score_f,
-                       truesc_f, n_w, seedcov])
-    out_it = jnp.stack([i_rbeg, n_rb, n_re])
-    return out32, out_it
+                       back(r[5]), back(r[6]), back(r[7]), back(r[8]),
+                       back(r[9]), back(r[10]), has_row])
+    out_it = jnp.stack([i_rbeg,
+                        jnp.where(hasb, back(r[12]), i_r0),
+                        jnp.where(hasb, back(r[13]), i_r1)])
+    m6 = jnp.zeros((8,), i32).at[0].set(n_sel)
+    return out32, out_it, m6
 
 
 # single-chip jitted entry points (the mesh path shard-maps the raw bodies)
@@ -610,8 +701,8 @@ _chain_jit = functools.partial(jax.jit, static_argnames=(
     "o_del", "e_del", "o_ins", "e_ins", "a"))(_chain_body)
 _ext_jit = functools.partial(jax.jit, static_argnames=(
     "lq_max", "t_max", "mat_bytes", "o_del", "e_del", "o_ins", "e_ins",
-    "zdrop", "w_opt", "a", "pen_clip5", "pen_clip3", "interpret",
-    "use_pl"))(_ext_body)
+    "zdrop", "w_opt", "a", "pen_clip5", "pen_clip3", "sel_cap", "c_cap",
+    "interpret", "use_pl"))(_ext_body)
 
 
 # ---------------------------------------------------------------------------
@@ -656,8 +747,13 @@ def _chain_mesh(fm, ctg_offsets, ctg_is_alt, seeds, l_seq, **kw):
 
 def _ext_mesh(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
               seeds_len, seeds_rbeg, items32, items_it, **kw):
-    return _ext_body(fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
-                     seeds_len, seeds_rbeg, items32, items_it, **kw)
+    # mesh keeps single-round extension (sel_cap=0): the two-round driver's
+    # mid-batch host prepass would serialize per-shard round trips
+    out32, out_it, m6 = _ext_body(
+        fm, seq, l_seq, seed_chain, seeds_valid, seeds_qbeg,
+        seeds_len, seeds_rbeg, items32, items_it,
+        jnp.zeros((), jnp.int32), sel_cap=0, c_cap=0, **kw)
+    return out32, out_it, m6[:, None]
 
 
 # ---------------------------------------------------------------------------
@@ -742,6 +838,7 @@ def _sizes_for(al, N: int, Lr: int):
         "s_cap": 64,
         "a_ch": _bucket(N * 4, lo=1024),
         "a_it": _bucket(N * 8, lo=1024),
+        "a_sel": _bucket(N * 2, lo=1024),
         "b1s": _bucket(N * 8, lo=1024),
         "b2s": _bucket(N * 4, lo=1024),
     }
@@ -754,7 +851,7 @@ def _sizes_for(al, N: int, Lr: int):
     floors = {"cap": 64, "kmax": 1024, "emax": 1024, "pmax": 256,
               "cand2": 16, "k2max": 1024, "e2max": 1024, "p3cap": 16,
               "e3max": 1024, "a_seed": 1024, "s_cap": 16, "a_ch": 1024,
-              "a_it": 1024, "b1s": 1024, "b2s": 1024,
+              "a_it": 1024, "a_sel": 1024, "b1s": 1024, "b2s": 1024,
               "t1s": 32, "t2s": 32, "t3s": 32}
     sizes = {}
     for k, d in defaults.items():
@@ -830,6 +927,13 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     use_kmer = (al.fm.kmer is not None
                 and getattr(opt, "use_kmer_table", True)
                 and opt.min_seed_len >= smemops.KMER_K)
+    # two-round extension (round-1 select + host prepass + round-2 subset)
+    # needs the native walk and a single chip; sel_cap == 0 keeps the
+    # single-round program
+    from bwamem_tpu import native as _native
+    if (os.environ.get("BWAMEM_TPU_EXT2", "1") != "1" or nsh > 1
+            or not _native.available()):
+        sizes["a_sel"] = 0
 
     # long reads that enter mem_flt_chained_seeds (bwamem.c:607-611) keep
     # the host path: seed re-scoring mutates the work order
@@ -857,7 +961,9 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
         else _bucket(bound, lo=128)
 
     with timers.section("front.dispatch"):
-        arrs = _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr)
+        *arrs, ext2ctx = _dispatch(al, seq_dev, l_dev, sizes, use_kmer,
+                                   N, Lr)
+        arrs = tuple(arrs)
         if os.environ.get("BWAMEM_TPU_ASYNC_D2H") == "1":
             # Speculative D2H starts save ~100ms/batch on a healthy
             # transport, but ~12 queued copy requests behind a 6-program
@@ -872,7 +978,7 @@ def front_start(al, reads, seq: np.ndarray, l_seq: np.ndarray):
     return dict(abort=False, reads=reads, n=n, N=N, Lr=Lr, hist=hist,
                 sizes=sizes, use_kmer=use_kmer, fallback=fallback,
                 seq_dev=seq_dev, l_dev=l_dev, arrs=arrs, nsh=nsh,
-                Nkey=Nkey)
+                Nkey=Nkey, ext2ctx=ext2ctx)
 
 
 def front_finish(al, tok, _early=None):
@@ -949,12 +1055,12 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
                                         what="front.meta")[0]
             _dbg("fetch meta done")
             if nsh > 1:
-                meta_st = meta_all                      # [40, nsh]
+                meta_st = meta_all                      # [48, nsh]
                 meta_all = meta_st.max(axis=1)
                 for sl in _FLAG_SLOTS:
                     meta_all[sl] = np.bitwise_or.reduce(meta_st[sl])
-            m1, m2, m3, m4, m5 = (meta_all[8 * k: 8 * k + 8]
-                                  for k in range(5))
+            m1, m2, m3, m4, m5, m6 = (meta_all[8 * k: 8 * k + 8]
+                                      for k in range(6))
             grow = []
             flags = int(m1[1]) | int(m2[1]) | int(m3[1])
             for bit, name in enumerate(_GROW1 + _GROW2 + _GROW3 + _GROWB
@@ -1007,9 +1113,10 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
                 fetchguard.fetch([out32, out_it, chain32, c_pos, scl],
                                  what="front.drain")
                 with timers.section("front.dispatch"):
-                    (meta_all, out32, out_it, chain32, c_pos,
-                     scl) = _dispatch(al, seq_dev, l_dev, sizes, use_kmer,
-                                      N, Lr)
+                    (meta_all, out32, out_it, chain32, c_pos, scl,
+                     ext2ctx) = _dispatch(al, seq_dev, l_dev, sizes,
+                                          use_kmer, N, Lr)
+                    tok["ext2ctx"] = ext2ctx
                 continue
             out32, out_it, chain32, c_pos, scl = fetchguard.fetch(
                 [out32, out_it, chain32, c_pos, scl], what="front.arenas")
@@ -1023,7 +1130,7 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
                  p3cap=m3[2], e3max=m3[3],
                  a_seed=m4[1], s_cap=m4[2], a_ch=m5[3], a_it=m5[4],
                  t_span=m5[6], b1s=m1[5], b2s=m2[6],
-                 t1s=m1[6], t2s=m2[7], t3s=m3[4]):
+                 t1s=m1[6], t2s=m2[7], t3s=m3[4], a_sel=m6[0]):
         _hist_save(al, hist)
     if m5[0]:
         raise RuntimeError("chain table overflow with chain_cap == seed cap")
@@ -1038,7 +1145,7 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
         a_ch = chain32.shape[1] // nsh
         nit_s = meta_st[36].astype(np.int64)     # m5[4] per shard
         nch_s = meta_st[35].astype(np.int64)     # m5[3] per shard
-        I = out32.reshape(11, nsh, a_it)
+        I = out32.reshape(out32.shape[0], nsh, a_it)
         T = out_it.reshape(out_it.shape[0], nsh, a_it)
         Cc = chain32.reshape(5, nsh, a_ch)
         Pp = c_pos.reshape(nsh, a_ch)
@@ -1067,8 +1174,52 @@ def _finish_guarded(al, tok, reads, n, N, Lr, hist, sizes, use_kmer,
     for i in np.nonzero(seed_cnt[:n] > sizes["s_cap"])[0]:
         fallback.add(int(i))
 
-    regs_out = _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback)
+    # ---- two-round extension: prepass -> round-2 subset -> final walk ----
+    ext2ctx = tok.get("ext2ctx")
+    has = None
+    if ext2ctx is not None and sizes.get("a_sel", 0) and nsh == 1:
+        # fetched arrays are read-only views; round 2 writes results back
+        if not I32.flags.writeable:
+            I32 = np.array(I32)
+        if not IIT.flags.writeable:
+            IIT = np.array(IIT)
+        has = np.ascontiguousarray(I32[11], np.uint8)
+        needed = _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n,
+                         fallback, has_res=has, prepass=True)
+        timers.count("ext.items", int(m6[0]) + len(needed))
+        if len(needed):
+            _ext2_run(al, ext2ctx, I32, IIT, needed, hist, Nkey)
+            if _note_hwm(hist, Nkey, a_e2=len(needed)):
+                _hist_save(al, hist)
+            has[needed] = 1
+    regs_out = _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback,
+                       has_res=has)
     return regs_out, sorted(fallback)
+
+
+def _ext2_run(al, ctx, I32, IIT, needed, hist, Nkey):
+    """Round-2 extension: one small dispatch over exactly the items the
+    prepass still needs (same program as round 1 with sel_cap=0, arena
+    hwm-bucketed on the needed count so the shape vocabulary stays tiny)."""
+    k = len(needed)
+    h = hist.get(("hwm", "a_e2", Nkey), 0)
+    a2 = _bucket(max(int(h + (h >> 2) + 1), k), lo=1024)
+    sub32 = np.zeros((5, a2), np.int32)
+    sub32[:, :k] = I32[:5, needed]
+    subit = np.zeros((3, a2), IIT.dtype)
+    subit[:, :k] = IIT[:, needed]
+    with timers.section("front.ext2"):
+        timers.count("dispatch.front", 1)
+        timers.add_bytes("h2d.front_seq", sub32.nbytes + subit.nbytes)
+        o32d, oitd, _ = _ext_jit(
+            al.fm, ctx["seq_dev"], ctx["l_dev"], ctx["seed_chain"],
+            ctx["sv"], ctx["sq"], ctx["sl"], ctx["sr"],
+            jnp.asarray(sub32), jnp.asarray(subit),
+            jnp.asarray(k, jnp.int32), sel_cap=0, c_cap=0, **ctx["s6"])
+        o32, oit = fetchguard.fetch([o32d, oitd], what="front.ext2")
+        timers.add_bytes("d2h.front", o32.nbytes + oit.nbytes)
+    I32[5:11, needed] = o32[5:11, :k]
+    IIT[1:, needed] = oit[1:, :k]
 
 
 def front_ext(al, reads, seq: np.ndarray, l_seq: np.ndarray):
@@ -1132,14 +1283,20 @@ def _dispatch(al, seq_dev, l_dev, sizes, use_kmer, N, Lr):
     seed_chain, items32, items_it, chain32, c_pos, m5 = _chain_jit(
         al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev, **s5)
     _dbg("dispatch ext")
-    out32, out_it = _ext_jit(al.fm, seq_dev, l_dev, seed_chain, seeds.valid,
-                             seeds.qbeg, seeds.len, seeds.rbeg, items32,
-                             items_it, **s6)
+    out32, out_it, m6 = _ext_jit(
+        al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg,
+        seeds.len, seeds.rbeg, items32, items_it, m5[4],
+        sel_cap=sizes.get("a_sel", 0), c_cap=sizes["s_cap"], **s6)
     _dbg("dispatch done")
     it = np.dtype(al.fm.L2.dtype)
-    meta_all = jnp.concatenate([m1, m2, m3, m4, m5])
+    meta_all = jnp.concatenate([m1, m2, m3, m4, m5, m6])
     scl = jnp.stack([seed_cnt.astype(it), l_rep])
-    return meta_all, out32, out_it, chain32, c_pos, scl
+    # ext2 context: device refs the round-2 dispatch needs (the items come
+    # back from the host as an explicit subset)
+    ctx = dict(seq_dev=seq_dev, l_dev=l_dev, seed_chain=seed_chain,
+               sv=seeds.valid, sq=seeds.qbeg, sl=seeds.len, sr=seeds.rbeg,
+               s6=s6)
+    return meta_all, out32, out_it, chain32, c_pos, scl, ctx
 
 
 def _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6):
@@ -1175,30 +1332,40 @@ def _dispatch_mesh(al, seq_dev, l_dev, s1, s2, s3, s4, s5, s6):
         mesh, _chain_mesh, t(s5), (True, True, True, False, False),
         out_mask=(False, "ax1", "ax1", "ax1", "ax1", "ax1"))(
             al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev)
-    out32, out_it = pmesh.rowmap(
+    out32, out_it, m6 = pmesh.rowmap(
         mesh, _ext_mesh, t(s6),
         (True, False, False, False, False, False, False, False,
          "ax1", "ax1"),
-        out_mask=("ax1", "ax1"))(
+        out_mask=("ax1", "ax1", "ax1"))(
             al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg,
             seeds.len, seeds.rbeg, items32, items_it)
     it = np.dtype(al.fm.L2.dtype)
-    meta_all = jnp.concatenate([m1, m2, m3, m4, m5])   # [40, nsh]
-    scl = jnp.stack([seed_cnt.astype(it), l_rep])      # [2, N]
-    return meta_all, out32, out_it, chain32, c_pos, scl
+    meta_all = jnp.concatenate([m1, m2, m3, m4, m5, m6])   # [48, nsh]
+    scl = jnp.stack([seed_cnt.astype(it), l_rep])          # [2, N]
+    return meta_all, out32, out_it, chain32, c_pos, scl, None
 
 
-def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
+def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback,
+            has_res=None, prepass=False):
     """Exact mem_chain_flt + mem_chain2aln skip/accept replay
     (bwamem.c:334-392, 674-793) over the fetched arenas.  Native
     hostops.replay_batch when available (the per-read/per-seed walk is
-    branchy C-shaped work); _replay_py is the spec and fallback."""
+    branchy C-shaped work); _replay_py is the spec and fallback.
+
+    Two-round extension contract (has_res = per-item result mask):
+    prepass=True returns just the needed-item index array (round-2 work
+    list).  prepass=False with has_res set is the FINAL walk — any read
+    whose walk still needs a result-less item (a rare prepass/exact
+    divergence: the prepass saw fewer regions, so its emitted set can
+    differ) is demoted to the host-front fallback, keeping the output
+    bit-identical unconditionally."""
     from bwamem_tpu import native
     if not native.available():
+        assert has_res is None  # two-round is gated on native (front_start)
         return _replay_py(al, reads, I32, IIT, CH32, CHPOS, l_rep, n,
                           fallback)
     opt: MemOptions = al.opt
-    with timers.section("front.replay"):
+    with timers.section("front.prepass" if prepass else "front.replay"):
         (i_read, _i_slot, i_chain, i_qbeg, i_len, n_qb, n_qe, score,
          truesc, n_w, seedcov) = (I32[k] for k in range(11))
         i_rbeg, n_rb, n_re = IIT[0], IIT[1], IIT[2]
@@ -1211,13 +1378,23 @@ def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
                 skip[i] = 1
         l_seq = np.fromiter((r.l_seq for r in reads[:n]), np.int32, n)
         with timers.section("front.replay.native"):
-            out_base, out_m, out_rid = native.replay_batch(
+            out_base, out_m, out_rid, needed = native.replay_batch(
                 ch_base, c_w, c_beg, c_end, (c_ra & 1).astype(np.uint8),
                 CHPOS, c_ra >> 1, it_base, i_chain, i_qbeg, i_len, i_rbeg,
-                n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt)
+                n_qb, n_qe, n_rb, n_re, n_w, skip, l_seq, opt,
+                has_res=has_res)
+        if prepass:
+            return needed
+        bad_reads = set()
+        if has_res is not None and needed.size:
+            # final walk hit unresolved items: demote those reads
+            for r in (np.searchsorted(it_base, needed, side="right") - 1):
+                bad_reads.add(int(r))
+                fallback.add(int(r))
         # speculative-extension waste accounting: lanes extended on device
         # vs items surviving the exact filter + skip/accept walk
-        timers.count("ext.items", int(it_base[n]))
+        if has_res is None:
+            timers.count("ext.items", int(it_base[n]))
         timers.count("ext.accepted", len(out_m))
         # materialize AlnRegs (plain-python lists: ~1us/reg)
         qb_l = n_qb[out_m].tolist()
@@ -1234,7 +1411,7 @@ def _replay(al, reads, I32, IIT, CH32, CHPOS, l_rep, n, fallback):
         ob = out_base.tolist()
         for i in range(n):
             b, e = ob[i], ob[i + 1]
-            if b == e:
+            if b == e or i in bad_reads:
                 continue
             frac_rep = float(l_rep[i]) / max(l_seq[i], 1)
             regs_out[i] = [

@@ -100,7 +100,7 @@ o5 = stage("chain", lambda: df._chain_jit(
 seed_chain, items32, items_it, chain32, c_pos, m5 = o5
 o6 = stage("ext", lambda: df._ext_jit(
     al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg, seeds.len,
-    seeds.rbeg, items32, items_it, **s6))
+    seeds.rbeg, items32, items_it, m5[4], **s6))
 print("[bisect] ALL STAGES OK; meta flags:",
       [int(x) for x in np.asarray(m1)[:2]],
       [int(x) for x in np.asarray(m2)[:2]],
@@ -124,7 +124,7 @@ for rep in range(int(os.environ.get("BISECT_REPS", "3"))):
                                         **s5)),
         ("ext", lambda: df._ext_jit(al.fm, seq_dev, l_dev, seed_chain,
                                     seeds.valid, seeds.qbeg, seeds.len,
-                                    seeds.rbeg, items32, items_it, **s6)),
+                                    seeds.rbeg, items32, items_it, m5[4], **s6)),
     ):
         t0 = time.perf_counter()
         out = fn()

@@ -122,9 +122,9 @@ def main():
         seed_chain, items32, items_it, chain32, c_pos, m5 = tick(
             "chain", lambda: df._chain_jit(
                 al.fm, al.ctg_offsets, al.ctg_is_alt, seeds, l_dev, **s5))
-        out32, out_it = tick("ext", lambda: df._ext_jit(
+        out32, out_it, m6 = tick("ext", lambda: df._ext_jit(
             al.fm, seq_dev, l_dev, seed_chain, seeds.valid, seeds.qbeg,
-            seeds.len, seeds.rbeg, items32, items_it, **s6))
+            seeds.len, seeds.rbeg, items32, items_it, m5[4], **s6))
 
         tot = sum(times.values())
         print(f"rep {rep}: " + "  ".join(
